@@ -1,0 +1,126 @@
+"""Extraction stage: corpus files → raw mention triples.
+
+Vectorized per-partition extraction with ``mapInPandas`` (Arrow batches,
+no per-row Python UDFs — north-rule input_hint). The per-row invariant
+``sha256(content) == content_sha256`` is enforced JVM-side with
+``sha2()`` + ``raise_error()`` *before* the Python stage, so a corrupt
+row fails the job instead of silently producing wrong triples
+(reference analog: checksum validation kgw/_shared/extract.py:203-214,
+enforced in DownloadFile.run kgw/_shared/tasks.py:116-128).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kgw_spark.functions.extract_rules import COMPILED
+from kgw_spark.model import MENTIONS_SCHEMA
+
+
+def check_sha256(corpus: DataFrame) -> DataFrame:
+    """Enforce the content-sha256 invariant as a zero-extra-pass filter:
+    rows pass through untouched; a mismatch raises inside the scan."""
+    bad = F.sha2(F.col("content"), 256) != F.col("content_sha256")
+    return corpus.filter(
+        F.when(
+            bad,
+            F.raise_error(
+                F.concat(
+                    F.lit("content_sha256 invariant violated for "),
+                    F.col("repo"),
+                    F.lit("/"),
+                    F.col("path"),
+                )
+            ),
+        ).otherwise(F.lit(True))
+    )
+
+
+def _tpl_parts(tpl: str) -> tuple[str | None, int]:
+    """Parse "FILE" / "module:{1}" / "class:{2}" into (prefix, group_idx)."""
+    if tpl == "FILE":
+        return None, -1
+    prefix, _, group = tpl.partition("{")
+    return prefix, int(group.rstrip("}")) - 1
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    out_cols = [f.name for f in MENTIONS_SCHEMA.fields]
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        fid = "file:" + pdf["repo"] + "/" + pdf["path"]
+        lineage = pd.DataFrame(
+            {
+                "fid": fid,
+                "repo": pdf["repo"],
+                "path": pdf["path"],
+                "commit": pdf["commit"],
+                "content_sha256": pdf["content_sha256"],
+            }
+        )
+        frames = [
+            # structural triple: every file belongs to its repo
+            pd.DataFrame(
+                {
+                    "subj": lineage["fid"],
+                    "pred": "in_repo",
+                    "obj": "repo:" + pdf["repo"],
+                    "repo": pdf["repo"],
+                    "path": pdf["path"],
+                    "commit": pdf["commit"],
+                    "content_sha256": pdf["content_sha256"],
+                }
+            )
+        ]
+        for lang, sub_idx in pdf.groupby("lang").groups.items():
+            rules = COMPILED.get(lang)
+            if not rules:
+                continue
+            sub = pdf.loc[sub_idx]
+            sub_lineage = lineage.loc[sub_idx]
+            for pred, rx, s_tpl, o_tpl in rules:
+                # vectorized: one extractall per (rule, lang-slice)
+                hits = sub["content"].str.extractall(rx)
+                if hits.empty:
+                    continue
+                row_idx = hits.index.get_level_values(0)
+                base = sub_lineage.loc[row_idx].reset_index(drop=True)
+                hits = hits.reset_index(drop=True)
+
+                def col_for(tpl: str) -> pd.Series:
+                    prefix, gi = _tpl_parts(tpl)
+                    if prefix is None:
+                        return base["fid"]
+                    return prefix + hits[gi].astype(str)
+
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "subj": col_for(s_tpl),
+                            "pred": pred,
+                            "obj": col_for(o_tpl),
+                            "repo": base["repo"],
+                            "path": base["path"],
+                            "commit": base["commit"],
+                            "content_sha256": base["content_sha256"],
+                        }
+                    )
+                )
+        yield pd.concat(frames, ignore_index=True)[out_cols]
+
+
+def extract_mentions(corpus: DataFrame, validate: bool = True) -> DataFrame:
+    """Corpus table → raw mention triples with lineage columns.
+
+    Scales by corpus partition: each Arrow batch is processed with
+    vectorized pandas string ops; no shuffle is introduced (extraction
+    is embarrassingly parallel; the first shuffle happens later at
+    link/dedup time).
+    """
+    src = check_sha256(corpus) if validate else corpus
+    return src.mapInPandas(_extract_batches, schema=MENTIONS_SCHEMA)

@@ -1,0 +1,65 @@
+"""Graph assembly: canonical mention triples → unified nodes/edges.
+
+Implements the reference's transform semantics at scale:
+- T5 triple dedup (kgw/biomedicine/_oregano.py:226-245) with lineage
+  aggregation instead of discard,
+- T3 node-mention union (subject ∪ object, _primekg.py:197-242),
+- T4 deterministic dedup (min lineage key instead of file order),
+- T6 type-from-id-prefix (_oregano.py:143-155),
+- T8 property assembly as JSON (orjson in the reference; here
+  ``to_json(struct(...))`` — JVM-side, codegen'd).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kgw_spark.model import node_type_from_id
+
+
+def build_edges(mentions: DataFrame) -> DataFrame:
+    """Dedup (subj, pred, obj) keeping aggregated lineage as properties:
+    n_mentions plus the lexicographically-first (repo, path, commit,
+    content_sha256) witness — deterministic regardless of partitioning."""
+    lineage = F.struct("repo", "path", "commit", "content_sha256")
+    agg = mentions.groupBy("subj", "pred", "obj").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.min(lineage).alias("w"),
+    )
+    return agg.select(
+        F.col("subj").alias("source_id"),
+        F.col("obj").alias("target_id"),
+        F.col("pred").alias("type"),
+        F.to_json(
+            F.struct(
+                F.col("n_mentions"),
+                F.col("w.repo").alias("repo"),
+                F.col("w.path").alias("path"),
+                F.col("w.commit").alias("commit"),
+                F.col("w.content_sha256").alias("content_sha256"),
+            )
+        ).alias("properties"),
+    )
+
+
+def build_nodes(mentions: DataFrame) -> DataFrame:
+    """Union of edge endpoints, deduped, typed by id prefix, with a
+    local-name property."""
+    ids = (
+        mentions.select(F.col("subj").alias("id"))
+        .union(mentions.select(F.col("obj").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+    )
+    name = F.when(
+        F.instr(F.col("id"), ":") > 0,
+        F.expr("substring(id, instr(id, ':') + 1)"),
+    ).otherwise(F.col("id"))
+    return ids.select(
+        F.col("id"),
+        node_type_from_id("id").alias("type"),
+        F.to_json(
+            F.struct(name.alias("name"), F.col("n_mentions"))
+        ).alias("properties"),
+    )

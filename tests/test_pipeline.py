@@ -1,0 +1,103 @@
+"""End-to-end pipeline: exact triple P/R vs generator ground truth,
+sha256 invariant enforcement, checkpoint resume."""
+
+import pytest
+
+from kgw_spark.model import triple_view
+from kgw_spark.plans.pipeline import run_pipeline
+from kgw_spark.sinks.store import TableStore
+from kgw_spark.sources.corpus import corpus_df
+from tests.conftest import alias_df_from_truth
+
+
+def _pr(result_triples: set, truth_triples: set) -> tuple[float, float]:
+    tp = len(result_triples & truth_triples)
+    precision = tp / len(result_triples) if result_triples else 0.0
+    recall = tp / len(truth_triples) if truth_triples else 0.0
+    return precision, recall
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(spark, small_corpus, tmp_path_factory):
+    rows, truth = small_corpus
+    store = TableStore(str(tmp_path_factory.mktemp("store")))
+    res = run_pipeline(
+        spark,
+        corpus_df(spark, rows),
+        alias_df_from_truth(spark, truth),
+        store,
+        input_fingerprint="t1",
+    )
+    return res, truth, store
+
+
+def test_triples_exact_pr(pipeline_result):
+    res, truth, _ = pipeline_result
+    got = {
+        (r.subj, r.pred, r.obj) for r in triple_view(res.edges).collect()
+    }
+    p, r = _pr(got, truth.triples)
+    assert p >= 0.95 and r >= 0.95, (p, r, len(got), len(truth.triples))
+    # with the synthetic corpus the rules are exact — require identity
+    assert got == truth.triples
+
+
+def test_node_types_from_prefix(pipeline_result):
+    res, _, _ = pipeline_result
+    types = {r.type for r in res.nodes.select("type").distinct().collect()}
+    assert types <= {"file", "repo", "module", "class", "func"}
+    ids = res.nodes.select("id", "type").collect()
+    for row in ids:
+        assert row.id.split(":", 1)[0] == row.type
+
+
+def test_edges_have_lineage_properties(pipeline_result):
+    import json
+
+    res, _, _ = pipeline_result
+    row = res.edges.first()
+    props = json.loads(row.properties)
+    assert {"n_mentions", "repo", "path", "commit", "content_sha256"} <= set(props)
+
+
+def test_sha256_invariant_enforced(spark, small_corpus):
+    from kgw_spark.operators.extract import extract_mentions
+
+    rows, _ = small_corpus
+    bad = [dict(rows[0])]
+    bad[0]["content_sha256"] = "0" * 64
+    df = corpus_df(spark, bad)
+    with pytest.raises(Exception, match="content_sha256 invariant"):
+        extract_mentions(df).count()
+
+
+def test_resume_skips_completed_stages(spark, small_corpus, tmp_path):
+    rows, truth = small_corpus
+    store = TableStore(str(tmp_path / "store"))
+    adf = alias_df_from_truth(spark, truth)
+    cdf = corpus_df(spark, rows)
+
+    first = run_pipeline(spark, cdf, adf, store, input_fingerprint="v1")
+    assert first.stages_run == ["mentions", "linked", "canonical", "edges", "nodes"]
+
+    second = run_pipeline(spark, cdf, adf, store, input_fingerprint="v1")
+    assert second.stages_run == []
+    assert second.stages_skipped == ["mentions", "linked", "canonical", "edges", "nodes"]
+    assert second.edges.count() == first.edges.count()
+
+    # new input fingerprint → full recompute
+    third = run_pipeline(spark, cdf, adf, store, input_fingerprint="v2")
+    assert third.stages_run == ["mentions", "linked", "canonical", "edges", "nodes"]
+
+
+def test_salted_link_matches_broadcast(spark, small_corpus, tmp_path):
+    rows, truth = small_corpus
+    adf = alias_df_from_truth(spark, truth)
+    cdf = corpus_df(spark, rows)
+    s1 = TableStore(str(tmp_path / "s1"))
+    s2 = TableStore(str(tmp_path / "s2"))
+    a = run_pipeline(spark, cdf, adf, s1, input_fingerprint="x", salted=False)
+    b = run_pipeline(spark, cdf, adf, s2, input_fingerprint="x", salted=True)
+    ta = {(r.subj, r.pred, r.obj) for r in triple_view(a.edges).collect()}
+    tb = {(r.subj, r.pred, r.obj) for r in triple_view(b.edges).collect()}
+    assert ta == tb
