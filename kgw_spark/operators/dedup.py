@@ -1,0 +1,313 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact and near-duplicate detection over a documents table. Shapes:
+
+- exact:        hash-groupBy, one shuffle on the content hash
+- n-gram Jaccard: shingle-explode → self-join on shingle → pair-count
+                  (the classic all-pairs similarity join; shingle join
+                  keys are pre-filtered by document frequency to kill
+                  the quadratic blowup from stop-shingles)
+- MinHash+LSH:  shingle → K minhashes → B bands → bucket join →
+                  candidate pairs → exact-Jaccard verify
+- SimHash:      token hashes → 64-bit weighted-majority fingerprint →
+                  near-pairs by banded equality on fingerprint chunks
+- embedding:    cosine ≥ τ via (optionally LSH-bucketed) self-join
+
+All hashing is JVM-side (xxhash64 / murmur hash) — deterministic and
+shuffle-friendly; no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: (keep_id, dup_id) pairs where
+    keep_id is the smallest id with identical content. One shuffle on
+    sha256(text) — at 100 TB, hash first so the shuffle key is 32 bytes,
+    not the document."""
+    h = F.sha2(F.col(text_col), 256).alias("text_sha256")
+    by_hash = docs.select(F.col(id_col), h)
+    keepers = by_hash.groupBy("text_sha256").agg(F.min(id_col).alias("keep_id"))
+    return (
+        by_hash.join(keepers, "text_sha256")
+        .filter(F.col(id_col) != F.col("keep_id"))
+        .select("keep_id", F.col(id_col).alias("dup_id"), "text_sha256")
+    )
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the min-id representative of every identical-content group."""
+    w_keep = exact_duplicates(docs, id_col, text_col).select(
+        F.col("dup_id").alias(id_col)
+    )
+    return docs.join(w_keep, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# shingling
+# --------------------------------------------------------------------------
+def shingles(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct word n-gram shingles per document, built JVM-side:
+    split → slide a window with transform(sequence(...)) → concat."""
+    toks = F.split(F.trim(F.col(text_col)), "\\s+")
+    k = F.size(toks) - (n - 1)
+    grams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(" ", *[toks[i + j] for j in range(n)]),
+        ),
+    ).otherwise(F.array())
+    return (
+        docs.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All (a, b) doc pairs (a < b) with n-gram Jaccard ≥ threshold.
+
+    ``max_shingle_df`` drops shingles shared by more than that many docs
+    before the self-join — the standard guard against stop-shingle
+    key explosion at scale (a shingle in 1M docs creates 10^12 pairs).
+    Dropping them only loses pairs whose *every* common shingle is a
+    stop-shingle, so leave it None for exact semantics at test scale.
+    """
+    sh = shingles(docs, n, id_col, text_col)
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_size"))
+
+    a = sh.select(F.col(id_col).alias("a"), "shingle")
+    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("_size").alias("size_b"))
+    return (
+        common.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.col("size_a") + F.col("size_b") - F.col("common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+# 2^31 - 1: keeps a*h + b < 2^62, safe for ANSI-mode long arithmetic
+_MERSENNE = (1 << 31) - 1
+
+
+def _perm_coeffs(num_perm: int, seed: int) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
+        for _ in range(num_perm)
+    ]
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n: int = 3,
+    num_perm: int = 64,
+    seed: int = 7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, sig array<long>) — min over shingles of (a*h+b) mod M per
+    permutation; base shingle hash is xxhash64 (JVM-side)."""
+    sh = shingles(docs, n, id_col, text_col).withColumn(
+        "h", F.abs(F.xxhash64("shingle")) % F.lit(_MERSENNE)
+    )
+    coeffs = _perm_coeffs(num_perm, seed)
+    # one aggregate pass: min per permutation, computed as expressions
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"m{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig"),
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate pairs via banded LSH on the minhash signature, then
+    exact n-gram-Jaccard verification of candidates only."""
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(docs, n, num_perm, seed, id_col, text_col)
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("sig")[bi * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.select(F.col(id_col).alias("a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("b"), "band", "bucket")
+    candidates = (
+        a.join(b, ["band", "bucket"]).filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+    )
+    # verify candidates with exact jaccard (join back to shingle sets)
+    sh = shingles(docs, n, id_col, text_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_size"))
+    sa = sh.select(F.col(id_col).alias("a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("b"), "shingle")
+    common = (
+        candidates.join(sa, "a")
+        .join(sb, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    za = sizes.select(F.col(id_col).alias("a"), F.col("_size").alias("size_a"))
+    zb = sizes.select(F.col(id_col).alias("b"), F.col("_size").alias("size_b"))
+    return (
+        common.join(za, "a")
+        .join(zb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+def simhash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens, computed as one exploded
+    aggregation: per bit, sum(+1/-1 by token-hash bit) > 0."""
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    def bitmask(i: int):
+        # shiftleft handles bit 63 (F.lit(1 << 63) would overflow long)
+        return F.shiftleft(F.lit(1).cast("long"), i)
+
+    bit_sums = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(bitmask(i)) != 0, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    fingerprint = None
+    for i in range(bits):
+        term = F.when(F.col(f"b{i}") > 0, bitmask(i)).otherwise(F.lit(0).cast("long"))
+        fingerprint = term if fingerprint is None else fingerprint.bitwiseOR(term)
+    return agg.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash: band the 64-bit fingerprint into
+    (max_hamming+1) chunks — any pair within the Hamming radius must
+    agree on at least one chunk (pigeonhole), so the join is on chunk
+    equality, never all-pairs."""
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    sh = simhash(docs, id_col, text_col)
+    banded = sh.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), c * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("cb"),
+    ).select(id_col, "simhash", "cb.chunk", "cb.key")
+    a = banded.select(
+        F.col(id_col).alias("a"), F.col("simhash").alias("sig_a"), "chunk", "key"
+    )
+    b = banded.select(
+        F.col(id_col).alias("b"), F.col("simhash").alias("sig_b"), "chunk", "key"
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.join(b, ["chunk", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,157 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk``    — brute-force exact top-k for one query vector;
+  the dot product is a JVM-side ``aggregate``/``zip_with`` fold over
+  the array (no Python), one narrow scan + a k-row sort.
+- ``lsh_topk``       — the scale path: random-hyperplane LSH buckets
+  (deterministic planes from a seeded generator), candidates from the
+  query's bucket (+ optional multi-probe), exact rerank of candidates
+  only.
+- ``cosine_near_pairs`` — all-pairs near-duplicate detection by
+  embedding cosine, LSH-bucketed self-join.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_scores(
+    emb: DataFrame, query_vec: list[float], vec_col: str = "embedding"
+) -> DataFrame:
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
+    cos = _dot(F.col(vec_col).cast("array<double>"), q) / (
+        _norm(F.col(vec_col).cast("array<double>")) * F.lit(qn)
+    )
+    return emb.withColumn("cosine", F.round(cos, 6))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force top-k: one scan, partial top-k per partition
+    (Spark's TakeOrdered), no shuffle of the vectors themselves."""
+    return (
+        cosine_scores(emb, query_vec, vec_col)
+        .select(id_col, "cosine")
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def _bucket_expr(vec_col: str, planes: list[list[float]]):
+    sig = None
+    for i, p in enumerate(planes):
+        proj = _dot(
+            F.col(vec_col).cast("array<double>"),
+            F.array(*[F.lit(x) for x in p]),
+        )
+        bit = F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return sig
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 13,
+    multiprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: restrict the exact rerank to vectors whose
+    random-hyperplane signature is within ``multiprobe`` bit-flips of
+    the query's signature (multi-probe LSH), then brute-force that
+    bucket set. Recall grows with n_planes↓ / multiprobe↑."""
+    dim = len(query_vec)
+    planes = _planes(dim, n_planes, seed)
+    bucketed = emb.withColumn("_bucket", _bucket_expr(vec_col, planes))
+
+    qsig = 0
+    for i, p in enumerate(planes):
+        proj = sum(float(a) * float(b) for a, b in zip(query_vec, p))
+        if proj >= 0:
+            qsig |= 1 << i
+    probe_buckets = {qsig}
+    if multiprobe >= 1:
+        for i in range(n_planes):
+            probe_buckets.add(qsig ^ (1 << i))
+    if multiprobe >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                probe_buckets.add(qsig ^ (1 << i) ^ (1 << j))
+
+    candidates = bucketed.filter(
+        F.col("_bucket").isin(*[int(b) for b in probe_buckets])
+    )
+    return cosine_topk(candidates, query_vec, k, id_col, vec_col)
+
+
+def cosine_near_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 6,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+) -> DataFrame:
+    """(a, b, cosine) pairs with cosine ≥ threshold. ``exact=True``
+    does the full quadratic self-join (oracle/test path); otherwise the
+    self-join is restricted to same-LSH-bucket pairs (misses only pairs
+    split by every hyperplane — rare at high thresholds)."""
+    left = emb.select(
+        F.col(id_col).alias("a"), F.col(vec_col).cast("array<double>").alias("va")
+    )
+    right = emb.select(
+        F.col(id_col).alias("b"), F.col(vec_col).cast("array<double>").alias("vb")
+    )
+    if exact:
+        joined = left.crossJoin(right).filter(F.col("a") < F.col("b"))
+    else:
+        planes = _planes(
+            len(emb.select(vec_col).first()[0]), n_planes, seed
+        )
+        lb = left.withColumn("_bucket", _bucket_expr("va", planes))
+        rb = right.withColumn("_bucket", _bucket_expr("vb", planes))
+        joined = lb.join(rb, "_bucket").filter(F.col("a") < F.col("b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    return (
+        joined.withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )

@@ -1,0 +1,199 @@
+"""Training-data operators: dedup family, similarity search, text
+analysis, multimodal plumbing — tested on the driver-provided testdata
+(sf0.001) against python/duckdb oracles."""
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from kgw_spark.functions import text as TX
+from kgw_spark.operators import dedup, multimodal, similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def pdocs():
+    return duckdb.sql(f"SELECT * FROM '{SF}/documents.parquet'").df()
+
+
+def test_exact_dedup(spark, docs):
+    clones = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
+    with_dup = docs.union(clones)
+    dups = dedup.exact_duplicates(with_dup).collect()
+    assert len(dups) == 5
+    assert all(r.dup_id == r.keep_id + 100000 for r in dups)
+    kept = dedup.dedup_exact(with_dup)
+    assert kept.count() == docs.count()
+    assert kept.filter("doc_id >= 100000").count() == 0
+
+
+def test_shingles_match_python(docs, pdocs):
+    got = dedup.shingles(docs.limit(0).union(docs), n=3).count()
+    expected = 0
+    for _, row in pdocs.iterrows():
+        toks = row["text"].split()
+        expected += len({" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)})
+    assert got == expected
+
+
+def test_ngram_jaccard_pairs_match_python(docs, pdocs):
+    got = {
+        (r.a, r.b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2).collect()
+    }
+    sets = {
+        row["doc_id"]: {
+            " ".join(row["text"].split()[i : i + 3])
+            for i in range(len(row["text"].split()) - 2)
+        }
+        for _, row in pdocs.iterrows()
+    }
+    expected = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter:
+                j = inter / len(sets[a] | sets[b])
+                if round(j, 6) >= 0.2:
+                    expected[(a, b)] = round(j, 6)
+    assert got == expected
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    # plant a near-duplicate: doc 0 with one word changed
+    base = docs.filter("doc_id = 0").first()
+    words = base.text.split()
+    words[len(words) // 2] = "zzz"
+    near = spark.createDataFrame(
+        [(9999, " ".join(words), base.lang, base.source, base.n_chars)],
+        schema=docs.schema,
+    )
+    pairs = dedup.minhash_lsh_pairs(
+        docs.union(near), n=3, num_perm=64, bands=16, threshold=0.5
+    ).collect()
+    assert any({p.a, p.b} == {0, 9999} for p in pairs)
+    for p in pairs:
+        assert p.jaccard >= 0.5
+
+
+def test_simhash_near_pairs(spark, docs):
+    base = docs.filter("doc_id = 1").first()
+    words = base.text.split()
+    words[0] = "qqq"
+    near = spark.createDataFrame(
+        [(8888, " ".join(words), base.lang, base.source, base.n_chars)],
+        schema=docs.schema,
+    )
+    pairs = dedup.simhash_near_pairs(docs.union(near), max_hamming=8).collect()
+    assert any({p.a, p.b} == {1, 8888} for p in pairs)
+    # hamming symmetric sanity: no self pairs, a<b
+    assert all(p.a < p.b for p in pairs)
+
+
+def test_cosine_topk_matches_numpy(emb):
+    import numpy as np
+
+    vecs = {r.vec_id: np.array(r.embedding, dtype="float64") for r in emb.collect()}
+    q = vecs[0]
+    got = similarity.cosine_topk(emb, list(q), k=5).collect()
+    scores = {
+        vid: float(np.dot(v, q) / (np.linalg.norm(v) * np.linalg.norm(q)))
+        for vid, v in vecs.items()
+    }
+    expected = sorted(scores.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:5]
+    assert [(r.vec_id, r.cosine) for r in got] == [
+        (vid, round(s, 6)) for vid, s in expected
+    ]
+    assert got[0].vec_id == 0 and math.isclose(got[0].cosine, 1.0, abs_tol=1e-6)
+
+
+def test_lsh_topk_recall(emb):
+    q = list(emb.filter("vec_id = 0").first().embedding)
+    exact = {r.vec_id for r in similarity.cosine_topk(emb, q, k=10).collect()}
+    approx = {
+        r.vec_id
+        for r in similarity.lsh_topk(emb, q, k=10, n_planes=6, multiprobe=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall
+
+
+def test_cosine_near_pairs_lsh_vs_exact(emb):
+    exact = {
+        (r.a, r.b) for r in similarity.cosine_near_pairs(emb, 0.95, exact=True).collect()
+    }
+    approx = {
+        (r.a, r.b)
+        for r in similarity.cosine_near_pairs(
+            emb, 0.95, n_planes=4, exact=False
+        ).collect()
+    }
+    assert approx <= exact
+    if exact:
+        assert len(approx) / len(exact) >= 0.5
+
+
+def test_text_functions_match_python(docs, pdocs):
+    got = docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("tc"),
+        TX.stopword_ratio(F.col("text")).alias("sr"),
+        TX.fingerprint(F.col("text")).alias("fp"),
+        TX.lang_id(F.col("text")).alias("lid"),
+    ).collect()
+    by_id = {r.doc_id: r for r in got}
+    for _, row in pdocs.iterrows():
+        toks = row["text"].split()
+        r = by_id[row["doc_id"]]
+        assert r.tc == len(toks)
+        stop = sum(1 for t in toks if t.lower() in TX.STOPWORDS)
+        assert math.isclose(r.sr, stop / max(len(toks), 1), rel_tol=1e-9)
+        h = 0
+        for t in toks:
+            h = (h * 1000003 + len(t) * 131 + ord(t[0])) % 2147483647
+        assert r.fp == h
+        scores = {
+            lang: sum(1 for t in toks if t.lower() in m)
+            for lang, m in TX.LANG_MARKERS.items()
+        }
+        best = min(sorted(scores), key=lambda code: (-scores[code], code))
+        expected_lid = best if scores[best] > 0 else "und"
+        assert r.lid == expected_lid
+
+
+def test_quality_score_bounds(docs):
+    rows = docs.select(TX.quality_score(F.col("text")).alias("q")).collect()
+    assert all(0.0 <= r.q <= 1.0 for r in rows)
+
+
+def test_multimodal_features(spark):
+    rows = [
+        (1, "image", "image/png", b"\x89PNG fake", '{"w":2,"h":2}'),
+        (2, "audio", "audio/wav", b"RIFF fake", None),
+    ]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    feats = multimodal.extract_features(media, dim=8).collect()
+    assert len(feats) == 2
+    for r in feats:
+        assert len(r.feature) == 8
+        assert all(0.0 <= x <= 1.0 for x in r.feature)
+        assert r.n_bytes > 0 and len(r.payload_sha256) == 64
+    # determinism
+    again = multimodal.extract_features(media, dim=8).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, again))
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_images(media, 2, 2)
