@@ -46,44 +46,104 @@ def _small_star(e: DataFrame) -> DataFrame:
     return via_neighbors.union(self_edges).filter(F.col("u") != F.col("v"))
 
 
+DRIVER_CC_THRESHOLD = 2_000_000
+
+
+def _driver_union_find(pairs: DataFrame) -> DataFrame:
+    """In-core union-find for equivalence sets that fit on the driver —
+    the hybrid any production pipeline uses: the alias graph is
+    typically millions of rows while the corpus is trillions, so
+    solving it exactly in one collect beats ~2·log(n) distributed
+    shuffle rounds. The distributed path below remains for dictionaries
+    that genuinely don't fit."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in pairs.toLocalIterator():
+        if row[0] == row[1]:
+            continue  # identity pairs are no-ops (distributed path drops them too)
+        ra, rb = find(row[0]), find(row[1])
+        if ra != rb:
+            # canonical = lexicographic min, same convention as below
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    rows = [(x, find(x)) for x in list(parent)]
+    return pairs.sparkSession.createDataFrame(
+        rows, schema="id string, canonical_id string"
+    )
+
+
 def connected_components(
-    pairs: DataFrame, max_iterations: int = 50
+    pairs: DataFrame,
+    max_iterations: int = 50,
+    num_partitions: int | None = None,
+    force_distributed: bool = False,
 ) -> DataFrame:
     """``pairs(u, v)``: undirected equivalence edges between entity ids.
 
     Returns a mapping DataFrame ``(id, canonical_id)`` covering every id
     that appears in ``pairs`` (canonical roots map to themselves).
-    """
-    e = _symmetrize(pairs).localCheckpoint(eager=True)
-    prev = None
-    for _ in range(max_iterations):
-        e = _symmetrize(_large_star(e))
-        e = _symmetrize(_small_star(e))
-        e = e.localCheckpoint(eager=True)
-        if prev is not None:
-            changed = e.exceptAll(prev).limit(1).count() + prev.exceptAll(e).limit(
-                1
-            ).count()
-            if changed == 0:
-                break
-        prev = e
-    else:
-        raise RuntimeError("connected_components failed to converge")
 
-    labels = (
-        e.groupBy("u")
-        .agg(F.min("v").alias("_mv"))
-        .select(
-            F.col("u").alias("id"),
-            F.least(F.col("u"), F.col("_mv")).alias("canonical_id"),
+    Small edge sets (≤ DRIVER_CC_THRESHOLD) are solved exactly in-core
+    on the driver; larger ones run the distributed large-star/small-star
+    iteration with parallelism sized to the edge set, not the session
+    default — empty-task churn at session-level partition counts costs
+    more than the data (one partition per ~100k edges).
+    """
+    n = pairs.count()
+    if n <= DRIVER_CC_THRESHOLD and not force_distributed:
+        return _driver_union_find(pairs)
+    if num_partitions is None:
+        cap = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+        num_partitions = max(1, min(cap, n // 100_000 + 1))
+    spark = pairs.sparkSession
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(num_partitions))
+    try:
+        e = _symmetrize(pairs).repartition(num_partitions).localCheckpoint(eager=True)
+        prev = None
+        for _ in range(max_iterations):
+            e = _symmetrize(_large_star(e))
+            e = _symmetrize(_small_star(e))
+            e = e.localCheckpoint(eager=True)
+            if prev is not None:
+                changed = e.exceptAll(prev).limit(1).count() + prev.exceptAll(
+                    e
+                ).limit(1).count()
+                if changed == 0:
+                    break
+            prev = e
+        else:
+            raise RuntimeError("connected_components failed to converge")
+
+        labels = (
+            e.groupBy("u")
+            .agg(F.min("v").alias("_mv"))
+            .select(
+                F.col("u").alias("id"),
+                F.least(F.col("u"), F.col("_mv")).alias("canonical_id"),
+            )
         )
-    )
-    roots = labels.select(F.col("canonical_id").alias("id")).distinct().withColumn(
-        "canonical_id", F.col("id")
-    )
-    return labels.union(roots).groupBy("id").agg(
-        F.min("canonical_id").alias("canonical_id")
-    )
+        roots = labels.select(
+            F.col("canonical_id").alias("id")
+        ).distinct().withColumn("canonical_id", F.col("id"))
+        out = labels.union(roots).groupBy("id").agg(
+            F.min("canonical_id").alias("canonical_id")
+        )
+        # materialize under the reduced parallelism before restoring it
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
 
 
 def alias_pairs(alias_df: DataFrame) -> DataFrame:
@@ -91,6 +151,18 @@ def alias_pairs(alias_df: DataFrame) -> DataFrame:
     return alias_df.select(
         F.col("alias_id").alias("u"), F.col("canonical_id").alias("v")
     )
+
+
+def compose_mapping(alias_df: DataFrame, **cc_kwargs) -> DataFrame:
+    """Disambiguate-then-union: the best-scoring candidate per alias
+    (link semantics) feeds the equivalence pairs, and the connected
+    components of those pairs give one final ``(id, canonical_id)``
+    mapping. Applying this mapping once is algebraically the
+    composition link∘canonicalize, at half the broadcast joins —
+    losing low-score candidates deliberately do NOT union components."""
+    from kgw_spark.operators.link import best_candidates
+
+    return connected_components(alias_pairs(best_candidates(alias_df)), **cc_kwargs)
 
 
 def canonicalize(mentions: DataFrame, mapping: DataFrame) -> DataFrame:

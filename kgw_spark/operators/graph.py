@@ -43,14 +43,20 @@ def build_edges(mentions: DataFrame) -> DataFrame:
     )
 
 
-def build_nodes(mentions: DataFrame) -> DataFrame:
-    """Union of edge endpoints, deduped, typed by id prefix, with a
-    local-name property."""
+def build_nodes(edges: DataFrame) -> DataFrame:
+    """Union of edge endpoints (T3), deduped (T4), typed by id prefix
+    (T6), with a local-name property.
+
+    Derived from the *deduped* edges table rather than raw mentions:
+    endpoint mention counts are recovered exactly as the sum of edge
+    ``n_mentions`` over both endpoint positions, so the expensive
+    extraction chain is evaluated once, not twice."""
+    n = F.get_json_object(F.col("properties"), "$.n_mentions").cast("long")
     ids = (
-        mentions.select(F.col("subj").alias("id"))
-        .union(mentions.select(F.col("obj").alias("id")))
+        edges.select(F.col("source_id").alias("id"), n.alias("_n"))
+        .union(edges.select(F.col("target_id").alias("id"), n.alias("_n")))
         .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_mentions"))
+        .agg(F.sum("_n").alias("n_mentions"))
     )
     name = F.when(
         F.instr(F.col("id"), ":") > 0,

@@ -20,10 +20,10 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-from kgw_spark.operators.canon import alias_pairs, canonicalize, connected_components
+from kgw_spark.operators.canon import canonicalize, compose_mapping
 from kgw_spark.operators.extract import extract_mentions
 from kgw_spark.operators.graph import build_edges, build_nodes
-from kgw_spark.operators.link import link_broadcast, link_salted
+from kgw_spark.operators.link import link_salted
 from kgw_spark.sinks.store import TableStore
 
 
@@ -45,17 +45,27 @@ def run_pipeline(
     input_fingerprint: str,
     salted: bool = False,
     num_salts: int = 16,
+    materialize_intermediate: bool = True,
 ) -> PipelineResult:
     """Run (or resume) the full KG-construction pipeline.
 
     ``input_fingerprint`` identifies the input snapshot (e.g. corpus
     content hash or Iceberg snapshot id); stages checkpointed under a
     different fingerprint are recomputed.
+
+    ``materialize_intermediate=False`` fuses extract→link→canonicalize
+    →build into one Catalyst plan and writes only the final nodes/edges
+    tables — maximum throughput, no mid-pipeline resume points. The
+    default materializes every stage (full resumability); choose per
+    job the way you'd choose checkpoint intervals on a cluster.
     """
     t0 = time.time()
     res = PipelineResult(nodes=None, edges=None)  # type: ignore[arg-type]
 
-    def stage(name: str, compute, partition_by: str | None):
+    def stage(name: str, compute, partition_by: str | None, final: bool = False):
+        if not materialize_intermediate and not final:
+            res.stages_run.append(name + "(fused)")
+            return compute()
         if store.is_complete(name, input_fingerprint):
             res.stages_skipped.append(name)
             res.manifests[name] = store.manifest(name)
@@ -68,20 +78,29 @@ def run_pipeline(
         return store.read(spark, name)
 
     mentions = stage("mentions", lambda: extract_mentions(corpus), "pred")
-    linker = (
-        (lambda: link_salted(mentions, alias_df, num_salts))
-        if salted
-        else (lambda: link_broadcast(mentions, alias_df))
-    )
-    linked = stage("linked", linker, "pred")
-    canonical = stage(
-        "canonical",
-        lambda: canonicalize(
-            linked, connected_components(alias_pairs(alias_df))
-        ),
-        "pred",
-    )
-    res.edges = stage("edges", lambda: build_edges(canonical), "type")
-    res.nodes = stage("nodes", lambda: build_nodes(canonical), "type")
+    if salted:
+        # dictionary too big to broadcast: salted shuffle-hash link,
+        # then CC-canonicalization as a separate rewrite
+        linked = stage(
+            "linked", lambda: link_salted(mentions, alias_df, num_salts), "pred"
+        )
+        canonical = stage(
+            "canonical",
+            lambda: canonicalize(linked, compose_mapping(alias_df)),
+            "pred",
+        )
+    else:
+        # broadcast path: link∘canonicalize composed into ONE mapping
+        # (disambiguated best candidates → connected components),
+        # applied with a single pair of broadcast joins
+        canonical = stage(
+            "canonical",
+            lambda: canonicalize(mentions, compose_mapping(alias_df)),
+            "pred",
+        )
+    res.edges = stage("edges", lambda: build_edges(canonical), "type", final=True)
+    # nodes derive from the committed edges table — one chain evaluation
+    edges_committed = res.edges
+    res.nodes = stage("nodes", lambda: build_nodes(edges_committed), "type", final=True)
     res.wall_sec = time.time() - t0
     return res

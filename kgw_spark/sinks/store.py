@@ -26,7 +26,6 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 
 class TableStore:
@@ -86,19 +85,8 @@ class TableStore:
             shutil.rmtree(final)
         os.rename(staging, final)
 
-        spark = df.sparkSession
-        committed = spark.read.parquet(final)
-        if partition_by:
-            per_part = {
-                r[partition_by]: r["n"]
-                for r in committed.groupBy(partition_by)
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            }
-            rows = sum(per_part.values())
-        else:
-            per_part = {}
-            rows = committed.count()
+        # per-partition metrics from parquet footers — no extra Spark job
+        per_part, rows = self._footer_metrics(final, partition_by)
 
         manifest = {
             "stage": stage,
@@ -116,3 +104,27 @@ class TableStore:
             json.dump(manifest, f, indent=2, default=str)
         os.rename(tmp, self.manifest_path(stage))
         return manifest
+
+    @staticmethod
+    def _footer_metrics(table_dir: str, partition_by: str | None):
+        """Row counts per partition directory, read from parquet footers
+        (driver-side metadata only — equivalent to Iceberg manifest
+        stats, costs no Spark job)."""
+        import pyarrow.parquet as pq
+
+        per_part: dict[str, int] = {}
+        rows = 0
+        for root, _dirs, files in os.walk(table_dir):
+            part_key = None
+            if partition_by:
+                for seg in os.path.relpath(root, table_dir).split(os.sep):
+                    if seg.startswith(f"{partition_by}="):
+                        part_key = seg.split("=", 1)[1]
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                n = pq.read_metadata(os.path.join(root, fn)).num_rows
+                rows += n
+                if part_key is not None:
+                    per_part[part_key] = per_part.get(part_key, 0) + n
+        return per_part, rows

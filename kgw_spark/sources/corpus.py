@@ -57,6 +57,24 @@ class GroundTruth:
         return {x: find(x) for x in list(parent)}
 
 
+def build_alias_dict(n_modules: int = 12) -> dict[str, tuple[str, float]]:
+    """The deterministic entity-linking dictionary for a corpus with
+    ``n_modules`` modules (depends on nothing else)."""
+    alias: dict[str, tuple[str, float]] = {}
+    # module aliases: two alias surface forms per canonical module
+    for i in range(n_modules):
+        alias[f"module:m{i}x"] = (f"module:mod{i}", 1.0)
+        alias[f"module:module{i}"] = (f"module:mod{i}", 0.9)
+    # hot entity aliases: logf is called in a large share of files
+    alias["func:log"] = ("func:logf", 1.0)
+    alias["func:logger"] = ("func:logf", 0.8)
+    # alias chains for canonicalization: helper{i}c -> helper{i}b -> helper{i}a
+    for i in range(4):
+        alias[f"func:helper{i}c"] = (f"func:helper{i}b", 0.7)
+        alias[f"func:helper{i}b"] = (f"func:helper{i}a", 0.7)
+    return alias
+
+
 def generate_corpus(
     n_repos: int = 10,
     files_per_repo: int = 20,
@@ -65,9 +83,16 @@ def generate_corpus(
     n_classes: int = 15,
     n_funcs: int = 20,
     dup_file_share: float = 0.1,
+    n_call_lines: int = 2,
+    track_truth: bool = True,
 ):
     """Return (rows, truth) where rows are corpus-table dicts
-    (repo, path, commit, lang, content, content_sha256)."""
+    (repo, path, commit, lang, content, content_sha256).
+
+    ``n_call_lines`` scales per-file body size (bench corpora use
+    hundreds of call lines so extraction is compute-bound);
+    ``track_truth=False`` skips ground-truth mention bookkeeping for
+    large bench corpora (the alias dictionary is still returned)."""
     rng = random.Random(seed)
     truth = GroundTruth()
 
@@ -75,18 +100,14 @@ def generate_corpus(
     classes = [f"Cls{i}" for i in range(n_classes)]
     funcs = [f"fn{i}" for i in range(n_funcs)]
 
-    # --- alias dictionary -------------------------------------------------
-    # module aliases: two alias surface forms per canonical module
-    for i, m in enumerate(modules):
-        truth.alias_dict[f"module:m{i}x"] = (f"module:{m}", 1.0)
-        truth.alias_dict[f"module:module{i}"] = (f"module:{m}", 0.9)
-    # hot entity aliases: logf is called in a large share of files
-    truth.alias_dict["func:log"] = ("func:logf", 1.0)
-    truth.alias_dict["func:logger"] = ("func:logf", 0.8)
-    # alias chains for canonicalization: helper{i}c -> helper{i}b -> helper{i}a
-    for i in range(4):
-        truth.alias_dict[f"func:helper{i}c"] = (f"func:helper{i}b", 0.7)
-        truth.alias_dict[f"func:helper{i}b"] = (f"func:helper{i}a", 0.7)
+    truth.alias_dict = build_alias_dict(n_modules)
+
+    # weighted call-target pool: ~20% hot entity, some helpers, rest funcs
+    call_pool = (
+        ["logf", "log", "logger"] * max(1, n_funcs // 10)
+        + [f"helper{i}{c}" for i in range(4) for c in "abc"]
+        + funcs
+    )
 
     def module_form(i: int) -> str:
         return rng.choice([modules[i], f"m{i}x", f"module{i}"])
@@ -98,65 +119,74 @@ def generate_corpus(
         i = rng.randrange(4)
         return f"helper{i}{rng.choice('abc')}"
 
+    def call_block() -> list[str]:
+        """n_call_lines call targets: hot entity ~20% + helpers + funcs."""
+        base = [hot_call() if rng.random() < 0.6 else rng.choice(funcs), helper_call()]
+        if n_call_lines > 2:
+            base += rng.choices(call_pool, k=n_call_lines - 2)
+        return base[:n_call_lines] if n_call_lines >= 2 else base[:1]
+
     # --- file content templates -------------------------------------------
     def render_python(repo, path):
         mi, mj = rng.sample(range(len(modules)), 2)
         cls, base = rng.sample(classes, 2)
         fn = rng.choice(funcs)
-        calls = [hot_call() if rng.random() < 0.6 else rng.choice(funcs), helper_call()]
+        calls = call_block()
+        body = "\n".join(f"    {c}(1)" for c in calls)
+        m1, m2 = module_form(mi), module_form(mj)
         content = (
             f'"""{repo}/{path}"""\n'
-            f"import {module_form(mi)}\n"
-            f"from {module_form(mj)} import stuff\n"
+            f"import {m1}\n"
+            f"from {m2} import stuff\n"
             f"\n"
             f"class {cls}({base}):\n"
             f"    pass\n"
             f"\n"
             f"def {fn}():\n"
-            f"    {calls[0]}(1)\n"
-            f"    {calls[1]}(x)\n"
+            f"{body}\n"
         )
+        if not track_truth:
+            return content, []
         fid = file_id(repo, path)
-        # mentions recorded directly from the template choices (not re-parsed)
-        mentions = []
-        m_line1 = content.splitlines()[1].split()[1]
-        m_line2 = content.splitlines()[2].split()[1]
-        mentions.append((fid, "imports", f"module:{m_line1}"))
-        mentions.append((fid, "imports", f"module:{m_line2}"))
-        mentions.append((f"class:{cls}", "defined_in", fid))
-        mentions.append((f"class:{cls}", "extends", f"class:{base}"))
-        mentions.append((f"func:{fn}", "defined_in", fid))
-        mentions.append((fid, "calls", f"func:{calls[0]}"))
-        mentions.append((fid, "calls", f"func:{calls[1]}"))
+        mentions = [
+            (fid, "imports", f"module:{m1}"),
+            (fid, "imports", f"module:{m2}"),
+            (f"class:{cls}", "defined_in", fid),
+            (f"class:{cls}", "extends", f"class:{base}"),
+            (f"func:{fn}", "defined_in", fid),
+        ] + [(fid, "calls", f"func:{c}") for c in calls]
         return content, mentions
 
     def render_java(repo, path):
         mi = rng.randrange(len(modules))
         cls, base = rng.sample(classes, 2)
-        calls = [hot_call() if rng.random() < 0.6 else rng.choice(funcs)]
+        calls = call_block()
+        body = "\n".join(f"        {c}(1);" for c in calls)
         mform = module_form(mi)
         content = (
             f"import {mform};\n"
             f"\n"
             f"public class {cls} extends {base} {{\n"
             f"    void run() {{\n"
-            f"        {calls[0]}(1);\n"
+            f"{body}\n"
             f"    }}\n"
             f"}}\n"
         )
+        if not track_truth:
+            return content, []
         fid = file_id(repo, path)
         mentions = [
             (fid, "imports", f"module:{mform}"),
             (f"class:{cls}", "defined_in", fid),
             (f"class:{cls}", "extends", f"class:{base}"),
-            (fid, "calls", f"func:{calls[0]}"),
-        ]
+        ] + [(fid, "calls", f"func:{c}") for c in calls]
         return content, mentions
 
     def render_go(repo, path):
         mi = rng.randrange(len(modules))
         fn = rng.choice(funcs)
-        calls = [hot_call() if rng.random() < 0.6 else helper_call()]
+        calls = call_block()
+        body = "\n".join(f"    {c}(2)" for c in calls)
         mform = module_form(mi)
         content = (
             f"package main\n"
@@ -164,15 +194,16 @@ def generate_corpus(
             f'import "{mform}"\n'
             f"\n"
             f"func {fn}() {{\n"
-            f"    {calls[0]}(2)\n"
+            f"{body}\n"
             f"}}\n"
         )
+        if not track_truth:
+            return content, []
         fid = file_id(repo, path)
         mentions = [
             (fid, "imports", f"module:{mform}"),
             (f"func:{fn}", "defined_in", fid),
-            (fid, "calls", f"func:{calls[0]}"),
-        ]
+        ] + [(fid, "calls", f"func:{c}") for c in calls]
         return content, mentions
 
     renderers = {"python": render_python, "java": render_java, "go": render_go}
@@ -200,7 +231,8 @@ def generate_corpus(
                 content, mentions = renderers[lang](repo, path)
                 dup_pool.append((content, lang, mentions))
             fid = file_id(repo, path)
-            mentions = list(mentions) + [(fid, "in_repo", f"repo:{repo}")]
+            if track_truth:
+                mentions = list(mentions) + [(fid, "in_repo", f"repo:{repo}")]
             commit = hashlib.sha1(f"{repo}/{path}@{seed}".encode()).hexdigest()
             rows.append(
                 {
@@ -212,12 +244,14 @@ def generate_corpus(
                     "content_sha256": hashlib.sha256(content.encode()).hexdigest(),
                 }
             )
-            truth.raw_mentions.update(mentions)
+            if track_truth:
+                truth.raw_mentions.update(mentions)
 
-    canon = truth.canonical_map()
-    truth.triples = {
-        (canon.get(s, s), p, canon.get(o, o)) for s, p, o in truth.raw_mentions
-    }
+    if track_truth:
+        canon = truth.canonical_map()
+        truth.triples = {
+            (canon.get(s, s), p, canon.get(o, o)) for s, p, o in truth.raw_mentions
+        }
     return rows, truth
 
 

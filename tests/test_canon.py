@@ -1,0 +1,68 @@
+"""Connected components: driver union-find vs distributed
+large-star/small-star must agree on random graphs."""
+
+import random
+
+from kgw_spark.operators.canon import connected_components
+
+
+def _random_pairs(n_nodes: int, n_edges: int, seed: int):
+    rng = random.Random(seed)
+    return [
+        (f"n{rng.randrange(n_nodes)}", f"n{rng.randrange(n_nodes)}")
+        for _ in range(n_edges)
+    ]
+
+
+def _oracle(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        if a == b:
+            continue
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_driver_and_distributed_agree(spark):
+    pairs = _random_pairs(200, 300, seed=5)
+    df = spark.createDataFrame(pairs, schema="u string, v string")
+    expected = _oracle(pairs)
+
+    driver = {
+        r.id: r.canonical_id for r in connected_components(df).collect()
+    }
+    dist = {
+        r.id: r.canonical_id
+        for r in connected_components(df, force_distributed=True).collect()
+    }
+    assert driver == expected
+    assert dist == expected
+
+
+def test_chain_components(spark):
+    # a long path graph exercises multi-round convergence
+    pairs = [(f"c{i}", f"c{i+1}") for i in range(40)]
+    df = spark.createDataFrame(pairs, schema="u string, v string")
+    out = {
+        r.id: r.canonical_id
+        for r in connected_components(df, force_distributed=True).collect()
+    }
+    assert set(out.values()) == {"c0"}
+    assert len(out) == 41
+
+
+def test_self_loops_and_duplicates(spark):
+    pairs = [("a", "a"), ("a", "b"), ("b", "a"), ("x", "y")]
+    df = spark.createDataFrame(pairs, schema="u string, v string")
+    out = {r.id: r.canonical_id for r in connected_components(df).collect()}
+    assert out == {"a": "a", "b": "a", "x": "x", "y": "x"}

@@ -1,0 +1,84 @@
+"""Replay of the driver's correctness gate: every queries() entry with
+an oracle_sql() twin must match DuckDB on row count, sorted column
+names, and exact values (columns sorted by name, rows sorted).
+
+Runs at sf0.001 by default for speed; set SPARK_GRAFT_ORACLE_SF to
+/root/testdata/sf0.01 to mirror the driver exactly.
+"""
+
+import math
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as E
+
+SF = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.001")
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def _assert_match(name, sdf: pd.DataFrame, odf: pd.DataFrame):
+    a, b = _canon(sdf), _canon(odf)
+    assert list(a.columns) == list(b.columns), (name, list(a.columns), list(b.columns))
+    assert len(a) == len(b), (name, len(a), len(b))
+    for c in a.columns:
+        for i, (x, y) in enumerate(zip(a[c].tolist(), b[c].tolist())):
+            if isinstance(x, (int, float)) and isinstance(y, (int, float)):
+                both_nan = (
+                    isinstance(x, float)
+                    and isinstance(y, float)
+                    and math.isnan(x)
+                    and math.isnan(y)
+                )
+                assert both_nan or x == y, (name, c, i, x, y)
+            else:
+                assert str(x) == str(y), (name, c, i, x, y)
+
+
+ORACLE_NAMES = sorted(E.oracle_sql())
+ROWS_ONLY = sorted(set(E.queries()) - set(ORACLE_NAMES))
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_parity(spark, ddb, name):
+    sdf = E.queries()[name](spark, SF).toPandas()
+    odf = ddb.execute(E.oracle_sql()[name]).df()
+    _assert_match(name, sdf, odf)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    df = E.queries()[name](spark, SF)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"source_type", "edge_type", "target_type", "triple_count"} == set(
+        df.columns
+    )
+
+
+def test_every_oracle_key_has_query():
+    assert set(E.oracle_sql()) <= set(E.queries())

@@ -78,16 +78,16 @@ def test_resume_skips_completed_stages(spark, small_corpus, tmp_path):
     cdf = corpus_df(spark, rows)
 
     first = run_pipeline(spark, cdf, adf, store, input_fingerprint="v1")
-    assert first.stages_run == ["mentions", "linked", "canonical", "edges", "nodes"]
+    assert first.stages_run == ["mentions", "canonical", "edges", "nodes"]
 
     second = run_pipeline(spark, cdf, adf, store, input_fingerprint="v1")
     assert second.stages_run == []
-    assert second.stages_skipped == ["mentions", "linked", "canonical", "edges", "nodes"]
+    assert second.stages_skipped == ["mentions", "canonical", "edges", "nodes"]
     assert second.edges.count() == first.edges.count()
 
     # new input fingerprint → full recompute
     third = run_pipeline(spark, cdf, adf, store, input_fingerprint="v2")
-    assert third.stages_run == ["mentions", "linked", "canonical", "edges", "nodes"]
+    assert third.stages_run == ["mentions", "canonical", "edges", "nodes"]
 
 
 def test_salted_link_matches_broadcast(spark, small_corpus, tmp_path):
