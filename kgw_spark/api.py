@@ -1,0 +1,163 @@
+"""User-facing workflow API — the reference's Project/run surface
+(kgw/_shared/base.py:12-382) on the Spark engine.
+
+A ``Project`` declares WHAT to build (`to_statistics()`, `to_csv()`,
+...); ``run(workflow)`` executes every requested output, memoized the
+way the reference's Luigi targets are (an output that already exists
+is skipped, so a failed run resumes without re-doing completed work).
+The Luigi process-pool is replaced by Spark's own parallelism — tasks
+here are driver-side output renders over the shared nodes/edges store.
+
+A user of the reference maps 1:1:
+
+    kgw:                            kgw_spark:
+    proj = kgw.biomedicine.Hald(    proj = RawGraphProject("hald",
+        version="4", workdir="w")       load=..., workdir="w")
+    proj.to_sqlite()                proj.to_sqlite()
+    proj.to_statistics()            proj.to_statistics()
+    proj.to_metta("spo")            proj.to_metta("spo")
+    kgw.run([proj])                 run(spark, [proj])
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kgw_spark.plans import analytics
+from kgw_spark.sinks import export
+from kgw_spark.sinks.store import TableStore
+
+VALID_METTA = ("spo", "properties_aggregated", "properties_expanded")
+
+
+class Project:
+    """One dataset → one unified KG store → any number of outputs.
+
+    Subclasses (or the generic ``RawGraphProject``) implement
+    ``load(spark) -> (nodes, edges)``. The store materialization itself
+    is checkpointed via TableStore manifests; file outputs are
+    memoized on existence, like the reference's Luigi targets
+    (kgw/_shared/base.py:300-304).
+    """
+
+    label = "project"
+
+    def __init__(self, version: str = "1", workdir: str = "."):
+        self.version = str(version)
+        self.workdir = workdir
+        self.dirpath = os.path.join(workdir, f"{self.label}_v{self.version}")
+        self.results_dir = os.path.join(self.dirpath, "results")
+        self._outputs: list[tuple[str, Callable]] = []
+        self._store: TableStore | None = None
+
+    # -- data ------------------------------------------------------------
+    def load(self, spark: SparkSession) -> tuple[DataFrame, DataFrame]:
+        raise NotImplementedError
+
+    def _graph(self, spark) -> tuple[DataFrame, DataFrame]:
+        store = self._store or TableStore(os.path.join(self.dirpath, "store"))
+        self._store = store
+        fp = f"{self.label}:{self.version}"
+        if not (store.is_complete("nodes", fp) and store.is_complete("edges", fp)):
+            nodes, edges = self.load(spark)
+            store.write(edges, "edges", partition_by="type", input_fingerprint=fp)
+            store.write(nodes, "nodes", partition_by="type", input_fingerprint=fp)
+        return store.read(spark, "nodes"), store.read(spark, "edges")
+
+    # -- output declarations (reference base.py:65-244) -------------------
+    def _add(self, filename: str, render: Callable):
+        path = os.path.join(self.results_dir, filename)
+        self._outputs.append((path, render))
+        return self
+
+    def to_sqlite(self):
+        return self._add(
+            "kg.sqlite", lambda n, e, p: export.to_sqlite(n, e, p)
+        )
+
+    def to_statistics(self):
+        return self._add(
+            "statistics.json", lambda n, e, p: analytics.write_statistics(n, e, p)
+        )
+
+    def to_schema(self):
+        return self._add("schema.html", lambda n, e, p: analytics.schema_html(n, e, p))
+
+    def to_sql(self):
+        return self._add("kg.sql", lambda n, e, p: export.to_sql_dump(n, e, p))
+
+    def to_csv(self):
+        self._add("kg_nodes.csv", lambda n, e, p: export.to_csv(n, p))
+        return self._add("kg_edges.csv", lambda n, e, p: export.to_csv(e, p))
+
+    def to_jsonl(self):
+        self._add("kg_nodes.jsonl", lambda n, e, p: export.to_jsonl(n, p))
+        return self._add("kg_edges.jsonl", lambda n, e, p: export.to_jsonl(e, p))
+
+    def to_metta(self, representation: str = "spo"):
+        if representation not in VALID_METTA:
+            raise ValueError(
+                f"Unknown representation: {representation}. "
+                f"Valid: {', '.join(VALID_METTA)}"
+            )
+        fn = {
+            "spo": export.to_metta_spo,
+            "properties_aggregated": export.to_metta_properties_aggregated,
+            "properties_expanded": export.to_metta_properties_expanded,
+        }[representation]
+        return self._add(
+            f"kg_{representation}.metta", lambda n, e, p, fn=fn: fn(n, e, p)
+        )
+
+    def to_graphml(self):
+        return self._add("kg.graphml", lambda n, e, p: export.to_graphml(n, e, p))
+
+
+class RawGraphProject(Project):
+    """Generic project over any reader: ``load`` is injected."""
+
+    def __init__(self, label: str, load: Callable, version: str = "1", workdir: str = "."):
+        self.label = label
+        self._load = load
+        super().__init__(version, workdir)
+
+    def load(self, spark):
+        return self._load(spark)
+
+
+def run(spark: SparkSession, workflow, verbose: bool = False) -> bool:
+    """Execute every requested output of every project, memoized on
+    output existence (reference kgw/_shared/base.py:273-382; the arg
+    matrix accepts a single project or a list/tuple/set)."""
+    if isinstance(workflow, Project):
+        workflow = [workflow]
+    if not isinstance(workflow, (list, tuple, set)):
+        raise ValueError(f"Invalid workflow: {workflow!r}")
+    projects = list(workflow)
+    for proj in projects:
+        if not isinstance(proj, Project):
+            raise ValueError(f"Invalid workflow item: {proj!r}")
+    for proj in projects:
+        if not proj._outputs:
+            continue
+        os.makedirs(proj.results_dir, exist_ok=True)
+        nodes, edges = proj._graph(spark)
+        for path, render in proj._outputs:
+            if os.path.exists(path):
+                if verbose:
+                    print(f"skip (exists): {path}")
+                continue
+            tmp = path + ".partial"
+            try:
+                render(nodes, edges, tmp)
+                os.rename(tmp, path)
+            except Exception:
+                if os.path.exists(tmp):
+                    os.remove(tmp)
+                raise
+            if verbose:
+                print(f"wrote: {path}")
+    return True

@@ -1,0 +1,85 @@
+"""Physical-plan quality gates: these assert the plans we'd want at
+100 TB, not just correct results — filter/projection pushdown to the
+parquet scan, broadcast joins where a side is small, no shuffle in the
+extraction stage, partial (map-side) aggregation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgw_spark.plans import analytics
+from kgw_spark.sources import tpch_kg as KG
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_and_projection_pushdown(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") > "1996-01-01").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    p = plan(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in p
+    # column pruning: scan reads only the 3 referenced columns
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in read_schema and "l_extendedprice" in read_schema
+    assert "l_quantity" not in read_schema and "l_discount" not in read_schema
+
+
+def test_schema_triples_uses_broadcast_joins(spark):
+    nodes, edges = KG.kg_nodes(spark, SF), KG.kg_edges(spark, SF)
+    p = plan(analytics.schema_triples(nodes, edges))
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+
+
+def test_extraction_has_no_shuffle(spark):
+    from kgw_spark.operators.extract import extract_mentions
+    from kgw_spark.sources.corpus import corpus_df, generate_corpus
+
+    rows, _ = generate_corpus(n_repos=2, files_per_repo=3)
+    p = plan(extract_mentions(corpus_df(spark, rows)))
+    assert "Exchange" not in p  # extraction is map-only
+
+
+def test_q1_partial_aggregation(spark):
+    import __spark_entry__ as E
+
+    p = plan(E.queries()["q1_pricing_summary"](spark, SF))
+    # partial + final hash aggregate around a single exchange
+    assert p.count("HashAggregate") >= 4
+    assert len([ln for ln in p.splitlines() if ln.strip().startswith("Exchange") or " Exchange (" in ln]) >= 1
+
+
+def test_link_broadcast_plan(spark):
+    from kgw_spark.operators.extract import extract_mentions
+    from kgw_spark.operators.link import link_broadcast
+    from kgw_spark.sources.corpus import corpus_df, generate_corpus
+    from tests.conftest import alias_df_from_truth
+
+    rows, truth = generate_corpus(n_repos=2, files_per_repo=3)
+    m = extract_mentions(corpus_df(spark, rows))
+    p = plan(link_broadcast(m, alias_df_from_truth(spark, truth)))
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+
+
+def test_salted_link_plan_is_shuffle_hash(spark):
+    from kgw_spark.operators.extract import extract_mentions
+    from kgw_spark.operators.link import link_salted
+    from kgw_spark.sources.corpus import corpus_df, generate_corpus
+    from tests.conftest import alias_df_from_truth
+
+    rows, truth = generate_corpus(n_repos=2, files_per_repo=3)
+    m = extract_mentions(corpus_df(spark, rows))
+    p = plan(link_salted(m, alias_df_from_truth(spark, truth)))
+    assert "ShuffledHashJoin" in p
