@@ -44,8 +44,18 @@ class Project:
     """
 
     label = "project"
+    versions: list[str] = ["1"]
+
+    @classmethod
+    def get_versions(cls) -> list[str]:
+        """E10 version discovery (reference kgw/_shared/base.py:61-63 /
+        extract.py:220-350): static here — live API scraping is an
+        ingest concern outside the engine."""
+        return list(cls.versions)
 
     def __init__(self, version: str = "1", workdir: str = "."):
+        if version == "latest":
+            version = self.get_versions()[-1]
         self.version = str(version)
         self.workdir = workdir
         self.dirpath = os.path.join(workdir, f"{self.label}_v{self.version}")
@@ -128,10 +138,20 @@ class RawGraphProject(Project):
         return self._load(spark)
 
 
-def run(spark: SparkSession, workflow, verbose: bool = False) -> bool:
+def run(
+    spark: SparkSession, workflow, num_workers: int | None = None, verbose: bool = False
+) -> bool:
     """Execute every requested output of every project, memoized on
     output existence (reference kgw/_shared/base.py:273-382; the arg
-    matrix accepts a single project or a list/tuple/set)."""
+    matrix accepts a single project or a list/tuple/set).
+
+    ``num_workers`` mirrors the reference signature but is advisory:
+    parallelism lives inside Spark (the reference used it for its Luigi
+    process pool, base.py:333-334)."""
+    if num_workers is not None and (
+        not isinstance(num_workers, int) or num_workers < 1
+    ):
+        raise ValueError(f"Invalid num_workers: {num_workers!r}")
     if isinstance(workflow, Project):
         workflow = [workflow]
     if not isinstance(workflow, (list, tuple, set)):
@@ -140,6 +160,15 @@ def run(spark: SparkSession, workflow, verbose: bool = False) -> bool:
     for proj in projects:
         if not isinstance(proj, Project):
             raise ValueError(f"Invalid workflow item: {proj!r}")
+    # O5 task-event logging (reference kgw/_shared/tasks.py:34-69):
+    # colored Started/Finished/Failed lines per output task
+    def log(event: str, path: str):
+        if not verbose:
+            return
+        color = {"Started": "\033[34m", "Finished": "\033[32m",
+                 "Failed": "\033[31m", "Skipped": "\033[90m"}[event]
+        print(f"{color}{event}\033[0m {path}")
+
     for proj in projects:
         if not proj._outputs:
             continue
@@ -147,17 +176,17 @@ def run(spark: SparkSession, workflow, verbose: bool = False) -> bool:
         nodes, edges = proj._graph(spark)
         for path, render in proj._outputs:
             if os.path.exists(path):
-                if verbose:
-                    print(f"skip (exists): {path}")
+                log("Skipped", path)
                 continue
             tmp = path + ".partial"
+            log("Started", path)
             try:
                 render(nodes, edges, tmp)
                 os.rename(tmp, path)
             except Exception:
                 if os.path.exists(tmp):
                     os.remove(tmp)
+                log("Failed", path)
                 raise
-            if verbose:
-                print(f"wrote: {path}")
+            log("Finished", path)
     return True

@@ -60,7 +60,22 @@ class TableStore:
         return os.path.join(self.tables_dir, name)
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
-        return spark.read.parquet(self.table_path(name))
+        path = self.table_path(name)
+        schema_file = os.path.join(path, "_schema.json")
+        has_files = any(
+            fn.endswith(".parquet")
+            for _r, _d, files in os.walk(path)
+            for fn in files
+        )
+        if not has_files and os.path.exists(schema_file):
+            # empty table (e.g. a KG with no edges): no parquet files
+            # were written — reconstruct from the persisted schema
+            from pyspark.sql.types import StructType
+
+            with open(schema_file) as f:
+                schema = StructType.fromJson(json.load(f))
+            return spark.createDataFrame([], schema=schema)
+        return spark.read.parquet(path)
 
     def write(
         self,
@@ -79,6 +94,10 @@ class TableStore:
         if partition_by:
             writer = writer.partitionBy(partition_by)
         writer.parquet(staging)
+        # persist the schema so empty tables round-trip (a partitioned
+        # write of zero rows produces no parquet files)
+        with open(os.path.join(staging, "_schema.json"), "w") as f:
+            json.dump(df.schema.jsonValue(), f)
 
         final = self.table_path(name)
         if os.path.exists(final):

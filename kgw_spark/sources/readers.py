@@ -462,3 +462,64 @@ def read_pharmebinet_tsv(
         edge_fn, schema=EDGES_SCHEMA
     )
     return nodes, edges
+
+
+# ---------------------------------------------------------------------------
+# ckg-style CSV pair (positional columns, embedded JSON properties) —
+# the shape produced by the reference's Neo4j→CSV export stage
+# (kgw/biomedicine/_ckg.py:178-233; the Docker/APOC export itself,
+# _ckg.py:300-368, is an external connector out of engine scope)
+# ---------------------------------------------------------------------------
+def read_ckg_csv(
+    spark: SparkSession, nodes_path: str, edges_path: str
+) -> tuple[DataFrame, DataFrame]:
+    def node_fn(batches):
+        for pdf in batches:
+            c = pdf.columns
+            props = [
+                _jdumps(
+                    {
+                        str(k): v
+                        for k, v in json.loads(p).items()
+                        if is_informative_value(v)
+                    }
+                )
+                for p in pdf[c[2]]
+            ]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[c[0]].astype(str),
+                    "type": pdf[c[1]].astype(str),
+                    "properties": props,
+                }
+            )
+
+    def edge_fn(batches):
+        for pdf in batches:
+            c = pdf.columns
+            props = [
+                _jdumps(
+                    {
+                        str(k): v
+                        for k, v in json.loads(p).items()
+                        if is_informative_value(v)
+                    }
+                )
+                for p in pdf[c[3]]
+            ]
+            yield pd.DataFrame(
+                {
+                    "source_id": pdf[c[0]].astype(str),
+                    "target_id": pdf[c[1]].astype(str),
+                    "type": pdf[c[2]].astype(str),
+                    "properties": props,
+                }
+            )
+
+    nodes = _read_table(spark, nodes_path, ",").mapInPandas(
+        node_fn, schema=NODES_SCHEMA
+    )
+    edges = _read_table(spark, edges_path, ",").mapInPandas(
+        edge_fn, schema=EDGES_SCHEMA
+    )
+    return nodes, edges

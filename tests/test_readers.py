@@ -280,3 +280,26 @@ def test_pharmebinet_reader(spark, tmp_path):
     # edges: extras only when informative
     assert eprops == {"w": 1.5, "relationship_id": "r9", "license": "MIT"}
     assert (e.source_id, e.target_id, e.type) == ("1", "1", "SELF")
+
+
+# ---- ckg-style CSV pair (post-Neo4j-export shape) -----------------------------
+def test_ckg_reader(spark, tmp_path):
+    nrows = [
+        ["_id", "_labels", "properties"],
+        ["7", "Protein", '{"name":"P1","taxid":9606,"none":null,"empty":""}'],
+    ]
+    erows = [
+        ["_start", "_end", "_type", "properties"],
+        ["7", "7", "SELF_REF", '{"score":0.9,"bad":""}'],
+    ]
+    np_, ep_ = tmp_path / "ckg_nodes.csv", tmp_path / "ckg_edges.csv"
+    for path, rows in ((np_, nrows), (ep_, erows)):
+        with open(path, "w", newline="") as f:
+            csv.writer(f).writerows(rows)
+    nodes, edges = readers.read_ckg_csv(spark, str(np_), str(ep_))
+    n = nodes.collect()[0]
+    assert (n.id, n.type) == ("7", "Protein")
+    assert json.loads(n.properties) == {"name": "P1", "taxid": 9606}
+    e = edges.collect()[0]
+    assert (e.source_id, e.target_id, e.type) == ("7", "7", "SELF_REF")
+    assert json.loads(e.properties) == {"score": 0.9}
