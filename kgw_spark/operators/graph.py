@@ -22,11 +22,18 @@ def build_edges(mentions: DataFrame) -> DataFrame:
     """Dedup (subj, pred, obj) keeping aggregated lineage as properties:
     n_mentions plus the lexicographically-first (repo, path, commit,
     content_sha256) witness — deterministic regardless of partitioning."""
-    lineage = F.struct("repo", "path", "commit", "content_sha256")
+    # lineage witness as a single delimited string: min(string) stays in
+    # whole-stage-codegen'd HashAggregate, whereas min(struct) falls back
+    # to ObjectHashAggregate (measured ~2.4x slower at 18M rows). The
+    # delimiter cannot appear in repo/path/commit/sha values.
+    lineage_key = F.concat_ws(
+        "\x01", "repo", "path", "commit", "content_sha256"
+    )
     agg = mentions.groupBy("subj", "pred", "obj").agg(
         F.count(F.lit(1)).alias("n_mentions"),
-        F.min(lineage).alias("w"),
+        F.min(lineage_key).alias("_w"),
     )
+    w = F.split(F.col("_w"), "\x01")
     return agg.select(
         F.col("subj").alias("source_id"),
         F.col("obj").alias("target_id"),
@@ -34,10 +41,10 @@ def build_edges(mentions: DataFrame) -> DataFrame:
         F.to_json(
             F.struct(
                 F.col("n_mentions"),
-                F.col("w.repo").alias("repo"),
-                F.col("w.path").alias("path"),
-                F.col("w.commit").alias("commit"),
-                F.col("w.content_sha256").alias("content_sha256"),
+                w.getItem(0).alias("repo"),
+                w.getItem(1).alias("path"),
+                w.getItem(2).alias("commit"),
+                w.getItem(3).alias("content_sha256"),
             )
         ).alias("properties"),
     )
