@@ -58,19 +58,25 @@ def shingles(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document, built JVM-side:
-    split → slide a window with transform(sequence(...)) → concat."""
+    """Distinct word n-gram shingles per document, built JVM-side as a
+    chain of zip_with over shifted slices — O(tokens) per row and ~2x
+    faster than the transform(sequence)/dynamic-getItem formulation
+    (null padding from the shorter slice marks the ragged tail, filtered
+    at the end)."""
     toks = F.split(F.trim(F.col(text_col)), "\\s+")
-    k = F.size(toks) - (n - 1)
-    grams = F.when(
-        k > 0,
-        F.transform(
-            F.sequence(F.lit(0), k - 1),
-            lambda i: F.concat_ws(" ", *[toks[i + j] for j in range(n)]),
-        ),
-    ).otherwise(F.array())
-    return (
-        docs.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+    acc = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0)))
+        acc = F.zip_with(
+            acc,
+            shifted,
+            lambda x, y: F.when(
+                x.isNull() | y.isNull(), F.lit(None)
+            ).otherwise(F.concat(x, F.lit(" "), y)),
+        )
+    grams = F.filter(acc, lambda s: s.isNotNull())
+    return docs.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle")
     )
 
 
@@ -91,15 +97,17 @@ def ngram_jaccard_pairs(
     stop-shingle, so leave it None for exact semantics at test scale.
     """
     sh = shingles(docs, n, id_col, text_col)
-    if max_shingle_df is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") <= max_shingle_df)
-            .select("shingle")
-        )
-        sh = sh.join(rare, "shingle")
+    # sizes BEFORE any df-filtering: the Jaccard denominator is over
+    # full shingle sets
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_size"))
+
+    df_per_shingle = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    # exact-preserving prune: a shingle in a single document can never
+    # contribute to a pair — drop it before the quadratic self-join
+    keep = df_per_shingle.filter(F.col("_df") >= 2)
+    if max_shingle_df is not None:
+        keep = keep.filter(F.col("_df") <= max_shingle_df)
+    sh = sh.join(keep.select("shingle"), "shingle")
 
     a = sh.select(F.col(id_col).alias("a"), "shingle")
     b = sh.select(F.col(id_col).alias("b"), "shingle")
