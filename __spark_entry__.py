@@ -339,6 +339,12 @@ def q_emb_lsh_topk(spark, sf_dir):
     return SIM.lsh_topk(emb, q, k=10, n_planes=6, multiprobe=2)
 
 
+def q_emb_ivf_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    return SIM.ivf_topk(emb, q, k=10, n_cells=16, n_probe=4)
+
+
 def q_kg_pipeline_triples(spark, sf_dir):
     """The full north-rule pipeline (extract → link → canonicalize →
     dedup) on the deterministic synthetic source-code corpus; returns
@@ -399,6 +405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_lsh": q_docs_minhash_lsh,
         "docs_simhash_pairs": q_docs_simhash_pairs,
         "emb_lsh_topk": q_emb_lsh_topk,
+        "emb_ivf_topk": q_emb_ivf_topk,
         "kg_pipeline_triples": q_kg_pipeline_triples,
     }
 

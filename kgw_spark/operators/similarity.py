@@ -155,3 +155,57 @@ def cosine_near_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantization by nearest centroid,
+# probe the top-p closest centroid cells, exact rerank inside them.
+# Deterministic: centroids are the k lowest-id vectors (a real system
+# would k-means; the partition/probe/rerank plumbing is identical).
+# ---------------------------------------------------------------------------
+def ivf_build(
+    emb: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Assign every vector to its nearest centroid cell. Returns the
+    cell-assigned DataFrame and the centroid list (small, driver-side —
+    it IS the index metadata)."""
+    centroids = [
+        (i, [float(x) for x in r[vec_col]])
+        for i, r in enumerate(
+            emb.orderBy(id_col).limit(n_cells).collect()
+        )
+    ]
+    v = F.col(vec_col).cast("array<double>")
+    best = None
+    for cid, c in centroids:
+        d = _dot(v, F.array(*[F.lit(x) for x in c]))
+        cand = F.struct((-d).alias("negd"), F.lit(cid).alias("cell"))
+        best = cand if best is None else F.least(best, cand)
+    assigned = emb.withColumn("_cell", best["cell"])
+    return assigned, centroids
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k via IVF: rerank only vectors in the ``n_probe`` cells
+    whose centroids are closest to the query. At scale the assigned
+    table is written partitioned by cell so a probe is a partition-
+    pruned scan, not a full pass."""
+    assigned, centroids = ivf_build(emb, n_cells, id_col, vec_col)
+    scored = sorted(
+        centroids,
+        key=lambda c: -sum(a * b for a, b in zip(query_vec, c[1])),
+    )
+    probe = [cid for cid, _ in scored[:n_probe]]
+    candidates = assigned.filter(F.col("_cell").isin(probe))
+    return cosine_topk(candidates, query_vec, k, id_col, vec_col)

@@ -79,3 +79,34 @@ def compact(
         input_fingerprint=fingerprint,
     )
     return {"edges": edges_manifest, "nodes": nodes_manifest}
+
+
+def windowed_event_counts(
+    events_stream: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation over a streaming events
+    source (ts, event_type, value): late rows beyond ``watermark_delay``
+    are dropped, state for closed windows is evicted — the standard
+    Structured Streaming pattern for unbounded aggregation. Works on a
+    batch DataFrame too (watermark is a no-op there), which is how the
+    test checks stream==batch equivalence."""
+    from pyspark.sql import functions as F
+
+    ts = F.col("ts").cast("timestamp")
+    return (
+        events_stream.withColumn("ts", ts)
+        .withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window_duration).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )

@@ -36,3 +36,37 @@ def test_streaming_matches_batch(spark, small_corpus, tmp_path):
         for r in triple_view(store.read(spark, "edges")).collect()
     }
     assert got == truth.triples
+
+
+def test_windowed_watermark_stream_matches_batch(spark, tmp_path):
+    from kgw_spark.streaming.incremental import windowed_event_counts
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    drop = str(tmp_path / "edrop")
+    events.coalesce(2).write.mode("overwrite").parquet(drop)
+
+    batch = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in windowed_event_counts(events).collect()
+    }
+
+    stream = spark.readStream.schema(events.schema).parquet(drop)
+    out_dir = str(tmp_path / "wout")
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "wckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # append mode emits only windows closed by the watermark; every
+    # emitted window must match the batch result exactly
+    assert got
+    assert all(batch[k] == v for k, v in got.items())

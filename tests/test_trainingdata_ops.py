@@ -197,3 +197,20 @@ def test_multimodal_features(spark):
     assert sorted(map(str, feats)) == sorted(map(str, again))
     with pytest.raises(NotImplementedError):
         multimodal.resize_images(media, 2, 2)
+
+
+def test_ivf_topk_recall(emb):
+    q = list(emb.filter("vec_id = 0").first().embedding)
+    exact = [r.vec_id for r in similarity.cosine_topk(emb, q, k=10).collect()]
+    approx = [
+        r.vec_id
+        for r in similarity.ivf_topk(emb, q, k=10, n_cells=8, n_probe=4).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.4, recall
+    # probing ALL cells must equal exact brute force
+    full = [
+        r.vec_id
+        for r in similarity.ivf_topk(emb, q, k=10, n_cells=8, n_probe=8).collect()
+    ]
+    assert full == exact
