@@ -39,6 +39,36 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_PYFILES_SHIPPED: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make kgw_spark importable on the session's Python workers
+    regardless of the harness's cwd/PYTHONPATH: zip the package once
+    and addPyFile it to the live SparkContext. Only needed by queries
+    that run Python UDFs (mapInPandas extraction)."""
+    key = id(spark.sparkContext)
+    if key in _PYFILES_SHIPPED:
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "kgw_spark")
+    zip_path = os.path.join(tempfile.gettempdir(), "kgw_spark_pyfiles.zip")
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path + ".tmp", "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+        os.replace(zip_path + ".tmp", zip_path)
+    spark.sparkContext.addPyFile(zip_path)
+    _PYFILES_SHIPPED.add(key)
+
+
 # ---------------------------------------------------------------------------
 # entry
 # ---------------------------------------------------------------------------
@@ -357,6 +387,7 @@ def q_kg_pipeline_triples(spark, sf_dir):
     from kgw_spark.sinks.store import TableStore
     from kgw_spark.sources.corpus import corpus_df, generate_corpus
 
+    _ship_package(spark)
     n_li = _t(spark, sf_dir, "lineitem").count()
     n_repos = max(4, min(64, n_li // 2000))
     rows, truth = generate_corpus(n_repos=n_repos, files_per_repo=20, seed=42)
