@@ -253,6 +253,82 @@ def q_q5_region_revenue(spark, sf_dir):
     )
 
 
+def q_q6_forecast_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    sel = li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_quantity") < 24)
+    )
+    return sel.agg(
+        F.round(F.sum(price * disc).cast("double"), 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_q10_top_customers(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    )
+    return (
+        j.groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.round(
+                F.sum(price * (F.lit(1.0).cast("decimal(18,2)") - disc)).cast(
+                    "double"
+                ),
+                4,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("custkey"))
+        .limit(20)
+    )
+
+
+def q_events_json_props(spark, sf_dir):
+    """JSON property extraction over the events.props column (T9-style
+    parse; exercises get_json_object against DuckDB's json functions)."""
+    ev = _t(spark, sf_dir, "events")
+    device = F.get_json_object(F.col("props"), "$.k")
+    return (
+        ev.groupBy(device.alias("device"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("min_value"),
+        )
+    )
+
+
+def q_kg_edge_rollup(spark, sf_dir):
+    """ROLLUP over the KG schema dims — subtotal/grand-total rows
+    (beyond the reference's plain GROUP BYs)."""
+    edges = KG.kg_edges(spark, sf_dir)
+    src_kind = F.split(F.col("source_id"), ":", 2).getItem(0)
+    tgt_kind = F.split(F.col("target_id"), ":", 2).getItem(0)
+    return (
+        edges.select(
+            src_kind.alias("source_kind"), tgt_kind.alias("target_kind")
+        )
+        .rollup("source_kind", "target_kind")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_top_order_per_customer(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
@@ -422,6 +498,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_shipping_priority": q_q3_shipping_priority,
         "q5_region_revenue": q_q5_region_revenue,
+        "q6_forecast_revenue": q_q6_forecast_revenue,
+        "q10_top_customers": q_q10_top_customers,
+        "events_json_props": q_events_json_props,
+        "kg_edge_rollup": q_kg_edge_rollup,
         "top_order_per_customer": q_top_order_per_customer,
         "events_sessionize": q_events_sessionize,
         "events_hourly": q_events_hourly,
@@ -566,6 +646,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             WHERE c_nationkey = s_nationkey
             GROUP BY r_name
+        """,
+        "q6_forecast_revenue": """
+            SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                       CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 4) AS revenue,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+              AND l_discount >= 0.05 AND l_quantity < 24
+        """,
+        "q10_top_customers": """
+            SELECT c_custkey AS custkey, c_name AS name, n_name AS nation,
+                   ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         (CAST(1.0 AS DECIMAL(18,2)) -
+                          CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4)
+                       AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, custkey ASC
+            LIMIT 20
+        """,
+        "events_json_props": """
+            SELECT json_extract_string(props, '$.k') AS device,
+                   event_type, COUNT(*) AS n,
+                   ROUND(MIN(value), 6) AS min_value
+            FROM events GROUP BY 1, 2
+        """,
+        "kg_edge_rollup": f"""{kg}
+            SELECT split_part(source_id, ':', 1) AS source_kind,
+                   split_part(target_id, ':', 1) AS target_kind,
+                   COUNT(*) AS n
+            FROM kg_edges
+            GROUP BY ROLLUP (source_kind, target_kind)
         """,
         "top_order_per_customer": """
             SELECT o_custkey AS custkey, o_orderkey AS orderkey,
