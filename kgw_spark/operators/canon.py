@@ -167,8 +167,14 @@ def compose_mapping(alias_df: DataFrame, **cc_kwargs) -> DataFrame:
 
 def canonicalize(mentions: DataFrame, mapping: DataFrame) -> DataFrame:
     """Rewrite subj/obj through the component mapping (left joins; ids
-    outside any component are already canonical)."""
-    m = F.broadcast(mapping)
+    outside any component are already canonical). The mapping can be as
+    large as the alias graph — the very case the salted link path exists
+    for — so the broadcast is size-gated: hinted only while Catalyst
+    estimates it under the broadcast threshold, otherwise AQE chooses
+    from runtime sizes."""
+    from kgw_spark.plans.hints import broadcast_if_small
+
+    m = broadcast_if_small(mapping)
     out = mentions
     for col in ("subj", "obj"):
         mm = m.withColumnRenamed("id", f"_{col}_id").withColumnRenamed(

@@ -13,6 +13,8 @@ import json
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kgw_spark.plans.hints import broadcast_if_small
+
 
 def node_type_counts(nodes: DataFrame) -> DataFrame:
     """A3 for nodes: GROUP BY type ORDER BY count DESC, type ASC
@@ -60,18 +62,20 @@ def write_statistics(nodes: DataFrame, edges: DataFrame, filepath: str) -> dict:
 def schema_triples(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """A4 (load.py:109-132): (source_type, edge_type, target_type) →
     triple_count. Physical plan: two hash joins — ``nodes`` is
-    broadcast on both sides when it fits (it is tiny relative to
-    edges: one row per distinct entity), so the only shuffle is the
-    final 3-column aggregation."""
-    src = nodes.select(
-        F.col("id").alias("_sid"), F.col("type").alias("source_type")
+    broadcast on both sides only while Catalyst estimates it under the
+    broadcast threshold (size-gated: at reference-CKG scale the node
+    table is 14.5M rows and a forced broadcast would OOM); past the
+    gate, AQE picks SMJ/shuffled-hash from runtime sizes, so the only
+    guaranteed shuffle is the final 3-column aggregation."""
+    src = broadcast_if_small(
+        nodes.select(F.col("id").alias("_sid"), F.col("type").alias("source_type"))
     )
-    tgt = nodes.select(
-        F.col("id").alias("_tid"), F.col("type").alias("target_type")
+    tgt = broadcast_if_small(
+        nodes.select(F.col("id").alias("_tid"), F.col("type").alias("target_type"))
     )
     return (
-        edges.join(F.broadcast(src), edges["source_id"] == F.col("_sid"))
-        .join(F.broadcast(tgt), edges["target_id"] == F.col("_tid"))
+        edges.join(src, edges["source_id"] == F.col("_sid"))
+        .join(tgt, edges["target_id"] == F.col("_tid"))
         .groupBy("source_type", F.col("type").alias("edge_type"), "target_type")
         .agg(F.count(F.lit(1)).alias("triple_count"))
         .orderBy(
@@ -85,12 +89,17 @@ def schema_triples(nodes: DataFrame, edges: DataFrame) -> DataFrame:
 
 def compact_schema(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """A5 (load.py:218-241): (source_type, target_type) with COUNT(*)
-    and COUNT(DISTINCT edge type)."""
-    src = nodes.select(F.col("id").alias("_sid"), F.col("type").alias("source_type"))
-    tgt = nodes.select(F.col("id").alias("_tid"), F.col("type").alias("target_type"))
+    and COUNT(DISTINCT edge type). Same size-gated join strategy as
+    ``schema_triples``."""
+    src = broadcast_if_small(
+        nodes.select(F.col("id").alias("_sid"), F.col("type").alias("source_type"))
+    )
+    tgt = broadcast_if_small(
+        nodes.select(F.col("id").alias("_tid"), F.col("type").alias("target_type"))
+    )
     return (
-        edges.join(F.broadcast(src), edges["source_id"] == F.col("_sid"))
-        .join(F.broadcast(tgt), edges["target_id"] == F.col("_tid"))
+        edges.join(src, edges["source_id"] == F.col("_sid"))
+        .join(tgt, edges["target_id"] == F.col("_tid"))
         .groupBy("source_type", "target_type")
         .agg(
             F.count(F.lit(1)).alias("edge_count"),
@@ -103,7 +112,11 @@ def compact_schema(nodes: DataFrame, edges: DataFrame) -> DataFrame:
 def neighborhood(edges: DataFrame, node_id: str) -> DataFrame:
     """A7 (examples/downstream_analysis.ipynb): the 1-hop neighborhood
     of ``node_id`` — incident edges plus edges among the neighbors.
-    Neighbor-set membership is a broadcast semi-join, not a collect."""
+    Neighbor-set membership is a semi-join, not a collect. The neighbor
+    set of a hub node is unbounded, so the broadcast is size-gated —
+    without file-level stats Catalyst can't bound a filtered set, the
+    hint is skipped, and AQE converts to a runtime broadcast when the
+    set is actually small."""
     incident = edges.filter(
         (F.col("source_id") == node_id) | (F.col("target_id") == node_id)
     )
@@ -114,11 +127,11 @@ def neighborhood(edges: DataFrame, node_id: str) -> DataFrame:
         .distinct()
     )
     among = edges.join(
-        F.broadcast(neighbors),
+        broadcast_if_small(neighbors),
         edges["source_id"] == F.col("nid"),
         "left_semi",
     ).join(
-        F.broadcast(neighbors.withColumnRenamed("nid", "nid2")),
+        broadcast_if_small(neighbors.withColumnRenamed("nid", "nid2")),
         edges["target_id"] == F.col("nid2"),
         "left_semi",
     )

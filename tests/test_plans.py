@@ -42,6 +42,49 @@ def test_schema_triples_uses_broadcast_joins(spark):
     assert "SortMergeJoin" not in p
 
 
+def test_schema_triples_broadcast_is_size_gated(spark):
+    """The A4/A5 broadcast is a *gated* hint: when broadcasting is
+    disabled (stand-in for 'node side too large'), the forced hint must
+    disappear and the plan falls back to a shuffle join — the shape a
+    14.5M-row node table needs (VERDICT r1 #1)."""
+    nodes, edges = KG.kg_nodes(spark, SF), KG.kg_edges(spark, SF)
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        p4 = plan(analytics.schema_triples(nodes, edges))
+        p5 = plan(analytics.compact_schema(nodes, edges))
+        assert "BroadcastHashJoin" not in p4 and "BroadcastExchange" not in p4
+        assert "BroadcastHashJoin" not in p5 and "BroadcastExchange" not in p5
+        assert "SortMergeJoin" in p4 or "ShuffledHashJoin" in p4
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_broadcast_gate_rejects_large_estimates(spark):
+    """A side Catalyst estimates over the threshold must not be hinted
+    (the estimate propagates through projections and mapInPandas, so
+    this is exactly the 14.5M-row node table case)."""
+    from kgw_spark.plans.hints import broadcast_if_small, parse_byte_conf
+
+    assert parse_byte_conf("10485760") == 10485760
+    assert parse_byte_conf("64MB") == 64 * 1024 * 1024
+    assert parse_byte_conf("1k") == 1024
+    assert parse_byte_conf("-1") == -1
+
+    base = spark.range(10)
+    # 100M rows x 8 bytes = ~800MB estimate >> 64MB threshold → unhinted
+    huge = spark.range(100_000_000).mapInPandas(
+        lambda it: (pdf.assign(x=1) for pdf in it), schema="id long, x int"
+    )
+    assert broadcast_if_small(huge) is huge
+    # broadcasting disabled (-1) → never hinted, however small
+    small = spark.read.parquet(f"{SF}/nation.parquet")
+    assert broadcast_if_small(small, threshold_bytes=-1) is small
+    # tiny parquet-backed side does get the hint
+    p = plan(base.join(broadcast_if_small(small), base.id == small.n_nationkey))
+    assert "BroadcastHashJoin" in p
+
+
 def test_extraction_has_no_shuffle(spark):
     from kgw_spark.operators.extract import extract_mentions
     from kgw_spark.sources.corpus import corpus_df, generate_corpus
