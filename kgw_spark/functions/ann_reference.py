@@ -1,0 +1,134 @@
+"""Driver-side, Spark-free reference implementations of the ANN
+operators — independent oracles for the distributed paths in
+``kgw_spark.operators.similarity``.
+
+These read the embeddings parquet with pyarrow and compute the expected
+result in pure Python, replicating Spark's floating-point evaluation
+order exactly:
+
+- dot products / norms are strict left-to-right folds over float64
+  (Spark's ``F.aggregate``/``zip_with`` fold), so sums are bit-identical;
+- ``ROUND(x, 6)`` is decimal HALF_UP on the exact binary value of the
+  double (Spark's ``BigDecimal(double).setScale(6, HALF_UP)``).
+
+The only shared inputs with the Spark path are the hyperplane/centroid
+*parameters* (pure functions of the seed / row ids); every projection,
+bucket assignment, probe, and rerank is recomputed here from scratch.
+"""
+
+from __future__ import annotations
+
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+from kgw_spark.operators.similarity import _planes
+
+
+def _load_vectors(parquet_path: str, id_col: str, vec_col: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(parquet_path, columns=[id_col, vec_col])
+    ids = t.column(id_col).to_pylist()
+    # list<float32> → python floats (exact widening, same as Spark's
+    # cast to array<double>)
+    vecs = [[float(x) for x in v] for v in t.column(vec_col).to_pylist()]
+    return list(zip(ids, vecs))
+
+
+def _fold_dot(xs, ys) -> float:
+    acc = 0.0
+    for x, y in zip(xs, ys):
+        acc = acc + x * y
+    return acc
+
+
+def _fold_norm(xs) -> float:
+    acc = 0.0
+    for x in xs:
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
+def _round6(x: float) -> float:
+    return float(Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
+def _cosine_topk(rows, query_vec, k):
+    """Replicates similarity.cosine_topk: round(cos, 6) first, then
+    order by (cosine desc, id asc), take k."""
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
+    scored = []
+    for vid, v in rows:
+        cos = _fold_dot(v, query_vec) / (_fold_norm(v) * qn)
+        scored.append((vid, _round6(cos)))
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    return scored[:k]
+
+
+def _signature(v, planes) -> int:
+    sig = 0
+    for i, p in enumerate(planes):
+        if _fold_dot(v, p) >= 0:
+            sig |= 1 << i
+    return sig
+
+
+def ref_lsh_topk(
+    parquet_path: str,
+    query_id,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 13,
+    multiprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Expected output of similarity.lsh_topk — same probe-set logic,
+    recomputed without Spark. Returns [(id, cosine)] rows."""
+    rows = _load_vectors(parquet_path, id_col, vec_col)
+    query_vec = next(v for vid, v in rows if vid == query_id)
+    planes = _planes(len(query_vec), n_planes, seed)
+
+    qsig = 0
+    for i, p in enumerate(planes):
+        if sum(float(a) * float(b) for a, b in zip(query_vec, p)) >= 0:
+            qsig |= 1 << i
+    probe = {qsig}
+    if multiprobe >= 1:
+        for i in range(n_planes):
+            probe.add(qsig ^ (1 << i))
+    if multiprobe >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                probe.add(qsig ^ (1 << i) ^ (1 << j))
+
+    candidates = [(vid, v) for vid, v in rows if _signature(v, planes) in probe]
+    return _cosine_topk(candidates, query_vec, k)
+
+
+def ref_ivf_topk(
+    parquet_path: str,
+    query_id,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Expected output of similarity.ivf_topk — centroid assignment via
+    lexicographic-min (−dot, cell) as F.least does, probe the n_probe
+    closest cells, exact rerank inside them."""
+    rows = _load_vectors(parquet_path, id_col, vec_col)
+    query_vec = next(v for vid, v in rows if vid == query_id)
+    by_id = sorted(rows, key=lambda t: t[0])
+    centroids = [(i, v) for i, (_vid, v) in enumerate(by_id[:n_cells])]
+
+    def cell_of(v):
+        return min(((-_fold_dot(v, c)), cid) for cid, c in centroids)[1]
+
+    scored = sorted(
+        centroids, key=lambda c: -sum(a * b for a, b in zip(query_vec, c[1]))
+    )
+    probe = {cid for cid, _ in scored[:n_probe]}
+    candidates = [(vid, v) for vid, v in rows if cell_of(v) in probe]
+    return _cosine_topk(candidates, query_vec, k)

@@ -127,11 +127,30 @@ def cosine_near_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exact: bool = False,
+    rounds: int = 3,
+    probe_radius: int = 1,
 ) -> DataFrame:
-    """(a, b, cosine) pairs with cosine ≥ threshold. ``exact=True``
-    does the full quadratic self-join (oracle/test path); otherwise the
-    self-join is restricted to same-LSH-bucket pairs (misses only pairs
-    split by every hyperplane — rare at high thresholds)."""
+    """(a, b, cosine) pairs with cosine ≥ threshold.
+
+    Default (scale) path — multiprobe OR-amplified LSH:
+
+    - ``rounds`` independent hyperplane sets (seeds ``seed..seed+rounds-1``);
+    - each vector's bucket signature per round is exploded into every
+      signature within ``probe_radius`` bit flips, so two vectors become
+      join candidates in a round whenever their signatures differ by at
+      most ``2 * probe_radius`` bits;
+    - the bucket self-join carries only ``(id, round, bucket)`` — the
+      vectors are joined back *after* candidate dedup, so the 100-TB
+      shuffle moves 16-byte keys, not embeddings;
+    - candidates are verified with the exact cosine, so the output has
+      no false positives; a true pair is missed only if every round
+      splits it by ≥ 2·probe_radius+1 hyperplanes — P(miss) ≈
+      (1 - P[Binom(n_planes, θ/π) ≤ 2·probe_radius])^rounds, vanishing
+      for near-duplicate thresholds.
+
+    ``exact=True`` runs the full quadratic self-join — the brute-force
+    oracle/test path, never the scale path.
+    """
     left = emb.select(
         F.col(id_col).alias("a"), F.col(vec_col).cast("array<double>").alias("va")
     )
@@ -141,12 +160,40 @@ def cosine_near_pairs(
     if exact:
         joined = left.crossJoin(right).filter(F.col("a") < F.col("b"))
     else:
-        planes = _planes(
-            len(emb.select(vec_col).first()[0]), n_planes, seed
+        dim = len(emb.select(vec_col).first()[0])
+        probe_arrays = []
+        for r in range(rounds):
+            sig = _bucket_expr(vec_col, _planes(dim, n_planes, seed + r))
+            variants = [sig]
+            if probe_radius >= 1:
+                variants += [sig.bitwiseXOR(F.lit(1 << b)) for b in range(n_planes)]
+            if probe_radius >= 2:
+                variants += [
+                    sig.bitwiseXOR(F.lit((1 << i) | (1 << j)))
+                    for i in range(n_planes)
+                    for j in range(i + 1, n_planes)
+                ]
+            probe_arrays.append(
+                F.array(
+                    *[
+                        F.struct(F.lit(r).alias("round"), v.alias("bucket"))
+                        for v in variants
+                    ]
+                )
+            )
+        probes = emb.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.flatten(F.array(*probe_arrays))).alias("p"),
+        ).select("_id", "p.round", "p.bucket")
+        pa = probes.select(F.col("_id").alias("a"), "round", "bucket")
+        pb = probes.select(F.col("_id").alias("b"), "round", "bucket")
+        candidates = (
+            pa.join(pb, ["round", "bucket"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
         )
-        lb = left.withColumn("_bucket", _bucket_expr("va", planes))
-        rb = right.withColumn("_bucket", _bucket_expr("vb", planes))
-        joined = lb.join(rb, "_bucket").filter(F.col("a") < F.col("b"))
+        joined = candidates.join(left, "a").join(right, "b")
     cos = _dot(F.col("va"), F.col("vb")) / (
         _norm(F.col("va")) * _norm(F.col("vb"))
     )
