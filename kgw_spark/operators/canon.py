@@ -88,6 +88,7 @@ def connected_components(
     max_iterations: int = 50,
     num_partitions: int | None = None,
     force_distributed: bool = False,
+    edge_count: int | None = None,
 ) -> DataFrame:
     """``pairs(u, v)``: undirected equivalence edges between entity ids.
 
@@ -99,8 +100,11 @@ def connected_components(
     iteration with parallelism sized to the edge set, not the session
     default — empty-task churn at session-level partition counts costs
     more than the data (one partition per ~100k edges).
+
+    ``edge_count``: callers that already know the size (e.g. from a
+    committed-stage manifest) pass it to skip the sizing count job.
     """
-    n = pairs.count()
+    n = edge_count if edge_count is not None else pairs.count()
     if n <= DRIVER_CC_THRESHOLD and not force_distributed:
         return _driver_union_find(pairs)
     if num_partitions is None:

@@ -86,15 +86,20 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """All (a, b) doc pairs (a < b) with n-gram Jaccard ≥ threshold.
 
     ``max_shingle_df`` drops shingles shared by more than that many docs
-    before the self-join — the standard guard against stop-shingle
-    key explosion at scale (a shingle in 1M docs creates 10^12 pairs).
-    Dropping them only loses pairs whose *every* common shingle is a
-    stop-shingle, so leave it None for exact semantics at test scale.
+    before the self-join — the guard against stop-shingle key explosion
+    at scale (a shingle in 1M docs creates 10^12 pairs). The default
+    (1000) is scale-safe: a single join key contributes at most ~500k
+    pairs. EXACTNESS TRADE-OFF: a capped run loses only pairs whose
+    *every* common shingle exceeds the cap — for near-duplicate
+    thresholds such pairs share many shingles and the overwhelming
+    majority are sub-cap, so losses are confined to pathological
+    stop-shingle-only overlaps. Pass ``None`` explicitly for exact
+    semantics when the corpus is known small (the oracle/test path).
     """
     sh = shingles(docs, n, id_col, text_col)
     # sizes BEFORE any df-filtering: the Jaccard denominator is over

@@ -15,16 +15,25 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _row_salt(df: DataFrame, num_salts: int):
+    """Per-row salt that spreads even byte-identical duplicate rows of a
+    hot key (hash-of-columns alone would funnel them to one reducer):
+    mix the row hash with ``monotonically_increasing_id`` — unique per
+    row, deterministic for a given partition layout (stable across task
+    retries, which recompute the same partition)."""
+    return F.pmod(
+        F.hash(*df.columns) + F.monotonically_increasing_id(), F.lit(num_salts)
+    ).alias("_salt")
+
+
 def salted_count(
     df: DataFrame,
     keys: list[str],
     num_salts: int = 16,
     count_name: str = "count",
 ) -> DataFrame:
-    """groupBy(*keys).count() with a salted first stage. Deterministic:
-    the salt is a hash of the whole row's partition-local position-free
-    columns, not rand()."""
-    salt = F.pmod(F.hash(*df.columns), F.lit(num_salts)).alias("_salt")
+    """groupBy(*keys).count() with a salted first stage (no rand())."""
+    salt = _row_salt(df, num_salts)
     partial = (
         df.select(*df.columns, salt)
         .groupBy(*keys, "_salt")
@@ -43,7 +52,7 @@ def salted_agg(
     """Two-stage salted aggregation: counts plus any number of sums
     (``sums`` maps input column → output alias)."""
     sums = sums or {}
-    salt = F.pmod(F.hash(*df.columns), F.lit(num_salts)).alias("_salt")
+    salt = _row_salt(df, num_salts)
     partial_aggs: list[Column] = []
     final_aggs: list[Column] = []
     if count_name:

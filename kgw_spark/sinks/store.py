@@ -53,6 +53,11 @@ class TableStore:
             return False
         if input_fingerprint is not None and m.get("input_fingerprint") != input_fingerprint:
             return False
+        # defense in depth: a manifest without its committed table
+        # (e.g. manual deletion) must not mark the stage complete
+        table = m.get("table")
+        if table and not os.path.isdir(self.table_path(table)):
+            return False
         return True
 
     # -- table io --------------------------------------------------------
@@ -89,6 +94,10 @@ class TableStore:
         a manifest for ``stage`` (default: the table name)."""
         stage = stage or name
         t0 = time.time()
+        # sweep leftovers from a previous crashed commit of this table
+        for fn in os.listdir(self.tables_dir):
+            if fn.startswith(f"{name}.old_"):
+                shutil.rmtree(os.path.join(self.tables_dir, fn), ignore_errors=True)
         staging = os.path.join(self.base_dir, f"_staging_{name}_{uuid.uuid4().hex[:8]}")
         writer = df.write.mode("overwrite")
         if partition_by:
@@ -99,10 +108,24 @@ class TableStore:
         with open(os.path.join(staging, "_schema.json"), "w") as f:
             json.dump(df.schema.jsonValue(), f)
 
+        # Crash-safe commit ordering: (1) invalidate the stage manifest
+        # FIRST — a kill anywhere past this point leaves the stage
+        # incomplete, so a resume re-runs it instead of reading a
+        # half-replaced table; (2) move the old table aside with a
+        # cheap rename (never rmtree the live name); (3) rename the
+        # staging dir into place (atomic on one filesystem); (4) only
+        # then delete the old copy and (5) commit the new manifest.
+        mpath = self.manifest_path(stage)
+        if os.path.exists(mpath):
+            os.remove(mpath)
         final = self.table_path(name)
+        old = None
         if os.path.exists(final):
-            shutil.rmtree(final)
+            old = f"{final}.old_{uuid.uuid4().hex[:8]}"
+            os.rename(final, old)
         os.rename(staging, final)
+        if old:
+            shutil.rmtree(old, ignore_errors=True)
 
         # per-partition metrics from parquet footers — no extra Spark job
         per_part, rows = self._footer_metrics(final, partition_by)

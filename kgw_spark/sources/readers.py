@@ -241,19 +241,31 @@ def _annotation_map_df(spark: SparkSession, paths: list[str], sep: str) -> DataF
 
 
 def _merge_json(props_col: str, ann_col: str):
-    """JSON-object merge: annotation keys override/append (dict.update).
-    String surgery keeps key order without a Python round-trip."""
+    """JSON-object merge with exact ``dict.update`` semantics
+    (kgw/biomedicine/_primekg.py:218-219,238-239): an annotation key
+    that already exists in the base object overwrites the value *in
+    place* (keeping the base key's position); new keys are appended in
+    annotation order. No duplicate keys are ever emitted. Valid for
+    flat string-valued objects, which is what both merge call sites
+    produce (CSV-sourced properties and annotations)."""
     a, b = F.col(props_col), F.col(ann_col)
+    base = F.from_json(a, "map<string,string>")
+    ann = F.from_json(b, "map<string,string>")
+    updated = F.transform(
+        F.map_entries(base),
+        lambda e: F.struct(
+            e["key"].alias("key"),
+            F.coalesce(F.try_element_at(ann, e["key"]), e["value"]).alias("value"),
+        ),
+    )
+    appended = F.filter(
+        F.map_entries(ann), lambda e: ~F.map_contains_key(base, e["key"])
+    )
+    merged = F.to_json(F.map_from_entries(F.concat(updated, appended)))
     return (
         F.when(b.isNull() | (b == "{}"), a)
         .when(a == "{}", b)
-        .otherwise(
-            F.concat(
-                F.expr(f"substring({props_col}, 1, length({props_col}) - 1)"),
-                F.lit(","),
-                F.expr(f"substring({ann_col}, 2)"),
-            )
-        )
+        .otherwise(merged)
     )
 
 
@@ -263,18 +275,25 @@ def read_primekg_csv(
     kg = _read_table(spark, kg_path, ",")
 
     def side(prefix: str, order: int) -> DataFrame:
-        def run(batches, prefix=prefix):
+        # the reference filters ONLY the y-side properties through
+        # is_informative_value (_primekg.py:210-239): x-side nodes keep
+        # empty identifier/name/source verbatim (csv empties are "")
+        filtered = prefix == "y"
+
+        def run(batches, prefix=prefix, filtered=filtered):
             for pdf in batches:
                 props = []
                 for ident, name, source in zip(
                     pdf[f"{prefix}_id"], pdf[f"{prefix}_name"], pdf[f"{prefix}_source"]
                 ):
                     d = {"identifier": ident, "name": name, "source": source}
-                    props.append(
-                        _jdumps(
-                            {k: v for k, v in d.items() if is_informative_value(v)}
-                        )
-                    )
+                    if filtered:
+                        d = {k: v for k, v in d.items() if is_informative_value(v)}
+                    else:
+                        # Spark csv reads empty fields as null; the
+                        # reference's csv.reader yields "" — restore it
+                        d = {k: ("" if v is None else v) for k, v in d.items()}
+                    props.append(_jdumps(d))
                 yield pd.DataFrame(
                     {
                         "id": pdf[f"{prefix}_index"],

@@ -101,3 +101,34 @@ def test_salted_link_matches_broadcast(spark, small_corpus, tmp_path):
     ta = {(r.subj, r.pred, r.obj) for r in triple_view(a.edges).collect()}
     tb = {(r.subj, r.pred, r.obj) for r in triple_view(b.edges).collect()}
     assert ta == tb
+
+
+def test_store_commit_is_crash_safe(spark, tmp_path):
+    """The commit protocol must never leave is_complete()==True with the
+    table gone: the stage manifest is invalidated before the old table
+    is touched and rewritten only after the new table is in place
+    (round-1 ADVICE: rmtree-then-rename left a window where a kill
+    stranded a manifest pointing at nothing)."""
+    import os
+
+    store = TableStore(str(tmp_path / "cs"))
+    df = spark.range(5).selectExpr("cast(id as string) AS id")
+    store.write(df, "t", stage="s", input_fingerprint="f1")
+    assert store.is_complete("s", "f1")
+
+    # simulate the crash residue the old protocol could produce:
+    # manifest present, table directory missing → must NOT be complete
+    import shutil
+
+    shutil.rmtree(store.table_path("t"))
+    assert not store.is_complete("s", "f1")
+
+    # recommit over the damage and then overwrite again: both fine
+    store.write(df, "t", stage="s", input_fingerprint="f1")
+    assert store.is_complete("s", "f1")
+    store.write(df.limit(3), "t", stage="s", input_fingerprint="f2")
+    assert store.is_complete("s", "f2") and not store.is_complete("s", "f1")
+    assert store.read(spark, "t").count() == 3
+    # no stranded .old_* copies after a clean overwrite
+    leftovers = [f for f in os.listdir(store.tables_dir) if ".old_" in f]
+    assert leftovers == []

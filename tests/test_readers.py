@@ -219,6 +219,60 @@ def test_primekg_reader(spark, tmp_path):
     }
 
 
+def test_primekg_annotation_key_collision_matches_dict_update(spark, tmp_path):
+    """An annotation key colliding with a base property must produce
+    byte-exact dict.update output (_primekg.py:218-219): value replaced
+    in place, no duplicate keys, new keys appended in annotation order."""
+    header = [
+        "relation", "display_relation", "x_index", "x_id", "x_type", "x_name",
+        "x_source", "y_index", "y_id", "y_type", "y_name", "y_source",
+    ]
+    rows = [["ppi", "", "7", "id7", "gene", "G7", "NCBI",
+             "8", "id8", "gene", "G8", "NCBI"]]
+    kg = tmp_path / "kg.csv"
+    with open(kg, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(header)
+        w.writerows(rows)
+    ann = tmp_path / "ann.csv"
+    with open(ann, "w", newline="") as f:
+        w = csv.writer(f)
+        # 'name' collides with the base property; 'extra' is new
+        w.writerow(["node_index", "name", "extra"])
+        w.writerow(["7", "OVERRIDDEN", "e1"])
+    nodes, _ = readers.read_primekg_csv(spark, str(kg), [str(ann)])
+    props = {r.id: r.properties for r in nodes.collect()}
+    # reference logic: dict.update on the base dict
+    expected = {"identifier": "id7", "name": "G7", "source": "NCBI"}
+    expected.update({"name": "OVERRIDDEN", "extra": "e1"})
+    assert props["7"] == json.dumps(expected, separators=(",", ":"), ensure_ascii=False)
+    parsed = json.loads(props["7"])
+    assert parsed["name"] == "OVERRIDDEN" and parsed["extra"] == "e1"
+    assert list(parsed) == ["identifier", "name", "source", "extra"]
+
+
+def test_primekg_x_side_keeps_uninformative_values(spark, tmp_path):
+    """The reference filters only the y-side properties
+    (_primekg.py:210-239): an x-side node with empty name/source keeps
+    the empty strings; the same node first seen on the y side drops
+    them."""
+    header = [
+        "relation", "display_relation", "x_index", "x_id", "x_type", "x_name",
+        "x_source", "y_index", "y_id", "y_type", "y_name", "y_source",
+    ]
+    rows = [["r", "", "10", "idA", "gene", "", "",
+             "11", "idB", "gene", "", ""]]
+    kg = tmp_path / "kg.csv"
+    with open(kg, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(header)
+        w.writerows(rows)
+    nodes, _ = readers.read_primekg_csv(spark, str(kg))
+    got = {r.id: json.loads(r.properties) for r in nodes.collect()}
+    assert got["10"] == {"identifier": "idA", "name": "", "source": ""}
+    assert got["11"] == {"identifier": "idB"}
+
+
 # ---- oregano-style bare triples + annotations --------------------------------
 def test_oregano_reader(spark, tmp_path):
     triples = [

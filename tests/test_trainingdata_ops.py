@@ -214,3 +214,35 @@ def test_ivf_topk_recall(emb):
         for r in similarity.ivf_topk(emb, q, k=10, n_cells=8, n_probe=8).collect()
     ]
     assert full == exact
+
+
+def test_ngram_jaccard_shingle_df_cap(spark):
+    """Scale-safe default: a stop-shingle present in every document must
+    not reach the self-join under a cap, and the cap loses only pairs
+    whose EVERY common shingle is over it."""
+    from kgw_spark.operators.dedup import ngram_jaccard_pairs
+
+    stop = "lorem ipsum dolor"  # one 3-gram shared by all docs
+    docs = [
+        # a/b: genuine near-dups sharing many specific shingles
+        (0, stop + " alpha beta gamma delta epsilon zeta"),
+        (1, stop + " alpha beta gamma delta epsilon eta"),
+        # c/d: overlap ONLY through the stop shingle
+        (2, stop + " one two three four"),
+        (3, stop + " five six seven eight"),
+    ] + [(i, stop + f" filler{i} pad{i} tail{i}") for i in range(4, 40)]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+
+    exact = ngram_jaccard_pairs(df, n=3, threshold=0.05, max_shingle_df=None)
+    capped = ngram_jaccard_pairs(df, n=3, threshold=0.05, max_shingle_df=10)
+    ex = {(r.a, r.b) for r in exact.collect()}
+    cp = {(r.a, r.b) for r in capped.collect()}
+    # the near-dup pair survives the cap; stop-shingle-only pairs don't
+    assert (0, 1) in cp
+    assert cp <= ex
+    lost = ex - cp
+    assert all(p not in cp for p in lost)
+    assert (2, 3) in ex and (2, 3) not in cp
+    # default cap (1000) is inert at this size → exact results
+    default = ngram_jaccard_pairs(df, n=3, threshold=0.05)
+    assert {(r.a, r.b) for r in default.collect()} == ex
