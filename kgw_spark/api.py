@@ -45,16 +45,24 @@ class Project:
 
     label = "project"
     versions: list[str] = ["1"]
+    #: optional kgw_spark.sources.metadata.MetadataFetcher — when set,
+    #: version discovery goes through it (live transport or recorded
+    #: fixtures) instead of the static ``versions`` list
+    metadata_fetcher = None
 
     @classmethod
     def get_versions(cls) -> list[str]:
         """E10 version discovery (reference kgw/_shared/base.py:61-63 /
-        extract.py:220-350): static here — live API scraping is an
-        ingest concern outside the engine."""
+        extract.py:220-350): through the pluggable MetadataFetcher when
+        one is configured, else the static list."""
+        if cls.metadata_fetcher is not None:
+            return cls.metadata_fetcher.get_versions()
         return list(cls.versions)
 
     def __init__(self, version: str = "1", workdir: str = "."):
-        if version == "latest":
+        if self.metadata_fetcher is not None:
+            version = self.metadata_fetcher.resolve_version(version)
+        elif version == "latest":
             version = self.get_versions()[-1]
         self.version = str(version)
         self.workdir = workdir
