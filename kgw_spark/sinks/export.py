@@ -117,37 +117,89 @@ def triples_text(edges: DataFrame) -> DataFrame:
 # non-unique above 10k edges; we use a global sequential id, identical
 # to the reference's output whenever the store has ≤ 10k edges.
 # --------------------------------------------------------------------------
+def _repr2_node_block(row) -> str:
+    nid, ntype = clean(row["id"]), clean(row["type"])
+    lines = [f"(: {nid} {ntype})"]
+    for key, val in json.loads(row["properties"] or "{}").items():
+        lines.append(f'("has_property" {nid} ({clean(key)} {clean(val)}))')
+    return "".join(line + "\n" for line in lines)
+
+
+def _repr2_edge_block(row, i: int) -> str:
+    eid = f'"e{i}"'
+    sid, tid, etype = (
+        clean(row["source_id"]),
+        clean(row["target_id"]),
+        clean(row["type"]),
+    )
+    lines = [f"(: {eid} {etype})", f"({eid} ({etype} {sid} {tid}))"]
+    for key, val in json.loads(row["properties"] or "{}").items():
+        lines.append(f'("has_property" {eid} ({clean(key)} {clean(val)}))')
+    return "".join(line + "\n" for line in lines)
+
+
+def _repr2_types_header(nodes: DataFrame, edges: DataFrame) -> str:
+    out = ["; Types", "(: NodeType Type)", "(: EdgeType Type)"]
+    for t in sorted(r["type"] for r in nodes.select("type").distinct().collect()):
+        out.append(f"(: {clean(t)} NodeType)")
+    for t in sorted(r["type"] for r in edges.select("type").distinct().collect()):
+        out.append(f"(: {clean(t)} EdgeType)")
+    return "".join(line + "\n" for line in out)
+
+
 def to_metta_properties_aggregated(
     nodes: DataFrame, edges: DataFrame, filepath: str
 ) -> None:
     with open(filepath, "w") as f:
-        f.write("; Types\n")
-        f.write("(: NodeType Type)\n")
-        f.write("(: EdgeType Type)\n")
-        for t in sorted(r["type"] for r in nodes.select("type").distinct().collect()):
-            f.write(f"(: {clean(t)} NodeType)\n")
-        for t in sorted(r["type"] for r in edges.select("type").distinct().collect()):
-            f.write(f"(: {clean(t)} EdgeType)\n")
-
+        f.write(_repr2_types_header(nodes, edges))
         f.write("; Nodes\n")
         for row in _ordered_nodes(nodes).toLocalIterator():
-            nid, ntype = clean(row["id"]), clean(row["type"])
-            f.write(f"(: {nid} {ntype})\n")
-            for key, val in json.loads(row["properties"] or "{}").items():
-                f.write(f'("has_property" {nid} ({clean(key)} {clean(val)}))\n')
-
+            f.write(_repr2_node_block(row))
         f.write("; Edges\n")
         for i, row in enumerate(_ordered_edges(edges).toLocalIterator()):
-            eid = f'"e{i}"'
-            sid, tid, etype = (
-                clean(row["source_id"]),
-                clean(row["target_id"]),
-                clean(row["type"]),
-            )
-            f.write(f"(: {eid} {etype})\n")
-            f.write(f"({eid} ({etype} {sid} {tid}))\n")
-            for key, val in json.loads(row["properties"] or "{}").items():
-                f.write(f'("has_property" {eid} ({clean(key)} {clean(val)}))\n')
+            f.write(_repr2_edge_block(row, i))
+
+
+def _sectioned_text(spark, sections) -> DataFrame:
+    """Build the ordered single-column export DataFrame from a list of
+    (header_string | None, rdd_of_value_strings | None) sections; RDD
+    union preserves per-section partition order, so writing/iterating
+    the result reproduces the driver render byte-for-byte."""
+    sc = spark.sparkContext
+    parts = []
+    for header, rdd in sections:
+        if header is not None:
+            parts.append(sc.parallelize([header], 1))
+        if rdd is not None:
+            parts.append(rdd)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return spark.createDataFrame(out.map(lambda v: (v,)), schema="value string")
+
+
+def metta_properties_aggregated_text(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Distributed L7: one text block per node/edge, global sequential
+    edge ids assigned with ``zipWithIndex`` over the export order (a
+    per-partition-offset pass — no single-partition shuffle). Write
+    with ``df.write.text(dir)`` for a sharded export; concatenated
+    shards equal the driver render (parity-tested). The e{i} global-id
+    deviation from the reference's per-10k-batch reset applies as in
+    the driver version (SURVEY §7.4)."""
+    spark = nodes.sparkSession
+    node_rdd = _ordered_nodes(nodes).rdd.map(_repr2_node_block)
+    edge_rdd = (
+        _ordered_edges(edges)
+        .rdd.zipWithIndex()
+        .map(lambda pair: _repr2_edge_block(pair[0], pair[1]))
+    )
+    return _sectioned_text(
+        spark,
+        [
+            (_repr2_types_header(nodes, edges) + "; Nodes\n", node_rdd),
+            ("; Edges\n", edge_rdd),
+        ],
+    )
 
 
 # --------------------------------------------------------------------------
@@ -194,34 +246,53 @@ def _record_to_metta(record: dict) -> list[str]:
     return out
 
 
+def _repr3_node_payload(row) -> dict:
+    return {
+        "id": row["id"],
+        "type": row["type"],
+        "properties": json.loads(row["properties"] or "{}"),
+    }
+
+
+def _repr3_edge_payload(row) -> dict:
+    return {
+        "source_id": row["source_id"],
+        "target_id": row["target_id"],
+        "type": row["type"],
+        "properties": json.loads(row["properties"] or "{}"),
+    }
+
+
+def _repr3_block(payload: dict, cnt: int) -> str:
+    return "".join(line + "\n" for line in _record_to_metta({cnt: payload}))
+
+
 def to_metta_properties_expanded(
     nodes: DataFrame, edges: DataFrame, filepath: str
 ) -> None:
     with open(filepath, "w") as f:
         cnt = 0
         for row in _ordered_nodes(nodes).toLocalIterator():
-            record = {
-                cnt: {
-                    "id": row["id"],
-                    "type": row["type"],
-                    "properties": json.loads(row["properties"] or "{}"),
-                }
-            }
-            for line in _record_to_metta(record):
-                f.write(line + "\n")
+            f.write(_repr3_block(_repr3_node_payload(row), cnt))
             cnt += 1
         for row in _ordered_edges(edges).toLocalIterator():
-            record = {
-                cnt: {
-                    "source_id": row["source_id"],
-                    "target_id": row["target_id"],
-                    "type": row["type"],
-                    "properties": json.loads(row["properties"] or "{}"),
-                }
-            }
-            for line in _record_to_metta(record):
-                f.write(line + "\n")
+            f.write(_repr3_block(_repr3_edge_payload(row), cnt))
             cnt += 1
+
+
+def metta_properties_expanded_text(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Distributed L8: the global monotone record counter spans nodes
+    then edges, assigned by one ``zipWithIndex`` over the unified
+    ordered record stream (per-partition offsets, no global shuffle)."""
+    spark = nodes.sparkSession
+    records = (
+        _ordered_nodes(nodes)
+        .rdd.map(_repr3_node_payload)
+        .union(_ordered_edges(edges).rdd.map(_repr3_edge_payload))
+        .zipWithIndex()
+        .map(lambda pair: _repr3_block(pair[0], pair[1]))
+    )
+    return _sectioned_text(spark, [(None, records)])
 
 
 # --------------------------------------------------------------------------
@@ -444,7 +515,7 @@ def _discover_attrs(df: DataFrame, kind: str, start: int) -> dict:
     return attrs
 
 
-def to_graphml(nodes: DataFrame, edges: DataFrame, filepath: str) -> None:
+def _graphml_attributes(nodes: DataFrame, edges: DataFrame) -> dict:
     attributes = {
         "_node_type": {"id": "d0", "for": "node", "name": "node_type", "type": "string"}
     }
@@ -457,49 +528,88 @@ def to_graphml(nodes: DataFrame, edges: DataFrame, filepath: str) -> None:
         "type": "string",
     }
     attributes.update(_discover_attrs(edges, "edge", nxt + 1))
+    return attributes
 
+
+def _graphml_header(attributes: dict) -> str:
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<graphml xmlns="http://graphml.graphdrawing.org/xmlns"\n'
+        '         xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance"\n'
+        '         xsi:schemaLocation="http://graphml.graphdrawing.org/xmlns\n'
+        "                             http://graphml.graphdrawing.org/xmlns/1.0/graphml.xsd\">\n"
+        + "\n".join(
+            f'<key id="{a["id"]}" for="{a["for"]}" '
+            f'attr.name="{a["name"]}" attr.type="{a["type"]}"/>'
+            for a in attributes.values()
+        )
+        + '\n<graph id="knowledge_graph" edgedefault="directed">\n'
+    )
+
+
+def _graphml_node_block(row, attributes: dict) -> str:
+    out = [f'<node id="{_clean_id(row["id"])}">\n']
+    attr = {"_node_type": row["type"]}
+    for k, v in json.loads(row["properties"] or "{}").items():
+        attr[f"node_{k}"] = v
+    for key, val in attr.items():
+        out.append(f' <data key="{attributes[key]["id"]}">{_clean_val(val)}</data>\n')
+    out.append(" </node>\n")
+    return "".join(out)
+
+
+def _graphml_edge_block(row, edge_id: int, attributes: dict) -> str:
+    out = [
+        f'<edge id="{edge_id}" source="{_clean_id(row["source_id"])}" '
+        f'target="{_clean_id(row["target_id"])}">\n'
+    ]
+    attr = {"_edge_type": row["type"]}
+    for k, v in json.loads(row["properties"] or "{}").items():
+        attr[f"edge_{k}"] = v
+    for key, val in attr.items():
+        out.append(f' <data key="{attributes[key]["id"]}">{_clean_val(val)}</data>\n')
+    out.append("</edge>\n")
+    return "".join(out)
+
+
+GRAPHML_FOOTER = "\n</graph>\n</graphml>\n"
+
+
+def to_graphml(nodes: DataFrame, edges: DataFrame, filepath: str) -> None:
+    attributes = _graphml_attributes(nodes, edges)
     with open(filepath, "w") as f:
-        f.write(
-            '<?xml version="1.0" encoding="UTF-8"?>\n'
-            '<graphml xmlns="http://graphml.graphdrawing.org/xmlns"\n'
-            '         xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance"\n'
-            '         xsi:schemaLocation="http://graphml.graphdrawing.org/xmlns\n'
-            "                             http://graphml.graphdrawing.org/xmlns/1.0/graphml.xsd\">\n"
-        )
-        f.write(
-            "\n".join(
-                f'<key id="{a["id"]}" for="{a["for"]}" '
-                f'attr.name="{a["name"]}" attr.type="{a["type"]}"/>'
-                for a in attributes.values()
-            )
-        )
-        f.write('\n<graph id="knowledge_graph" edgedefault="directed">\n')
-
+        f.write(_graphml_header(attributes))
         for row in _ordered_nodes(nodes).toLocalIterator():
-            f.write(f'<node id="{_clean_id(row["id"])}">\n')
-            attr = {"_node_type": row["type"]}
-            for k, v in json.loads(row["properties"] or "{}").items():
-                attr[f"node_{k}"] = v
-            for key, val in attr.items():
-                f.write(
-                    f' <data key="{attributes[key]["id"]}">{_clean_val(val)}</data>\n'
-                )
-            f.write(" </node>\n")
-
+            f.write(_graphml_node_block(row, attributes))
         edge_id = 0
         for row in _ordered_edges(edges).toLocalIterator():
-            f.write(
-                f'<edge id="{edge_id}" source="{_clean_id(row["source_id"])}" '
-                f'target="{_clean_id(row["target_id"])}">\n'
-            )
-            attr = {"_edge_type": row["type"]}
-            for k, v in json.loads(row["properties"] or "{}").items():
-                attr[f"edge_{k}"] = v
-            for key, val in attr.items():
-                f.write(
-                    f' <data key="{attributes[key]["id"]}">{_clean_val(val)}</data>\n'
-                )
-            f.write("</edge>\n")
+            f.write(_graphml_edge_block(row, edge_id, attributes))
             edge_id += 1
+        f.write(GRAPHML_FOOTER)
 
-        f.write("\n</graph>\n</graphml>\n")
+
+def graphml_text(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Distributed L5: key discovery is the existing distributed pass
+    (_discover_attrs); element rendering runs executor-side with the
+    small attribute map shipped in the closure; sequential edge ids via
+    ``zipWithIndex`` over the export order. Write with
+    ``df.write.text(dir)``; concatenated shards equal to_graphml's
+    byte stream (parity-tested)."""
+    spark = nodes.sparkSession
+    attributes = _graphml_attributes(nodes, edges)
+    node_rdd = _ordered_nodes(nodes).rdd.map(
+        lambda row: _graphml_node_block(row, attributes)
+    )
+    edge_rdd = (
+        _ordered_edges(edges)
+        .rdd.zipWithIndex()
+        .map(lambda pair: _graphml_edge_block(pair[0], pair[1], attributes))
+    )
+    return _sectioned_text(
+        spark,
+        [
+            (_graphml_header(attributes), node_rdd),
+            (None, edge_rdd),
+            (GRAPHML_FOOTER, None),
+        ],
+    )

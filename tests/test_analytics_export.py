@@ -257,3 +257,35 @@ def test_jsonl_distributed_matches_driver(graph, tmp_path):
     assert {json.dumps(json.loads(x), sort_keys=True) for x in dist} == {
         json.dumps(json.loads(x), sort_keys=True) for x in driver
     }
+
+
+def test_graphml_distributed_matches_driver(graph, tmp_path):
+    """Concatenated graphml_text shards == to_graphml byte stream
+    (ordering, sequential edge ids, key table)."""
+    nodes, edges = graph
+    p = tmp_path / "kg.graphml"
+    export.to_graphml(nodes, edges, str(p))
+    dist = "".join(r.value for r in export.graphml_text(nodes, edges).collect())
+    assert dist == p.read_text()
+
+
+def test_metta_repr2_distributed_matches_driver(graph, tmp_path):
+    nodes, edges = graph
+    p = tmp_path / "kg2.metta"
+    export.to_metta_properties_aggregated(nodes, edges, str(p))
+    dist = "".join(
+        r.value
+        for r in export.metta_properties_aggregated_text(nodes, edges).collect()
+    )
+    assert dist == p.read_text()
+
+
+def test_metta_repr3_distributed_matches_driver(graph, tmp_path):
+    nodes, edges = graph
+    p = tmp_path / "kg3.metta"
+    export.to_metta_properties_expanded(nodes, edges, str(p))
+    dist = "".join(
+        r.value
+        for r in export.metta_properties_expanded_text(nodes, edges).collect()
+    )
+    assert dist == p.read_text()
