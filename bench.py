@@ -29,30 +29,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
 
-# headline query subset: the judge-relevant operator classes, excluding
-# quadratic-oracle-only paths (emb_near_pairs exact cross-join) that
-# exist for correctness, not throughput.
-HEADLINE = [
-    "kg_statistics",
-    "kg_schema_triples",
-    "kg_compact_schema",
-    "kg_triple_dedup",
-    "kg_node_union",
-    "kg_enrich_broadcast",
-    "kg_connected_components",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "top_order_per_customer",
-    "events_sessionize",
-    "events_hourly",
-    "docs_text_stats",
-    "docs_ngram_jaccard",
-    "docs_minhash_lsh",
-    "docs_simhash_pairs",
-    "emb_cosine_topk",
-    "emb_lsh_topk",
-]
+# headline queries: every oracled operator except the full KG pipeline,
+# which is benched separately as the north-rule throughput metric
+# (emb_near_pairs is included now that its certified path is the
+# LSH-bucketed join, not the quadratic oracle cross-join).
+def _headline():
+    import __spark_entry__ as E
+
+    return [q for q in E.queries() if q != "kg_pipeline_triples"]
 
 # KG pipeline corpus size for the throughput metric (big enough that
 # local[8] takes >60s; pure function of these numbers + seed)
@@ -80,13 +64,40 @@ def run_queries(spark) -> dict[str, float]:
     import __spark_entry__ as E
 
     qs = E.queries()
+    # warm-up: session/parquet-footer/codegen startup lands on a
+    # throwaway run so the first timed query is attributable (r1 showed
+    # 7s of warm-up attributed to kg_statistics)
+    qs["kg_statistics"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
     times = {}
-    for name in HEADLINE:
+    for name in _headline():
         t0 = time.time()
         df = qs[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
     return times
+
+
+def cpu_probe(sizes=(8, 32), burn_iters=2_500_000) -> dict:
+    """Host-capacity evidence recorded per run: aggregate pure-Python
+    throughput at N concurrent processes. On a dedicated 32-core box
+    ratio_32_over_8 ≈ 4; the shared sandbox saturates well below that,
+    which is why the scaling pair is 2→8 (see BASELINE.md)."""
+    import multiprocessing as mp
+
+    def burn(_):
+        x = 0
+        for i in range(burn_iters):
+            x += i & 7
+        return x
+
+    out = {}
+    for n in sizes:
+        with mp.Pool(n) as pool:
+            t0 = time.time()
+            pool.map(burn, range(n * 2))
+            out[str(n)] = round((n * 2) / (time.time() - t0), 3)
+    out["ratio_32_over_8"] = round(out[str(sizes[1])] / out[str(sizes[0])], 3)
+    return out
 
 
 def ensure_corpus(spark) -> tuple[str, int]:
@@ -179,13 +190,21 @@ def main():
         n_big = n_small * 4
         sizes = [n_small, n_big] + ([CPUS] if CPUS not in (n_small, n_big) else [])
         best: dict[int, dict] = {}
+        walls: dict[int, list[float]] = {c: [] for c in sizes}
         for _ in range(trials):
             for cores in sizes:
                 s = _fresh_spark(cores)
                 r = run_kg_pipeline(s, corpus_path, alias_rows)
                 r["cores"] = cores
+                walls[cores].append(r["wall_sec"])
                 if cores not in best or r["wall_sec"] < best[cores]["wall_sec"]:
                     best[cores] = r
+
+        def median(xs: list[float]) -> float:
+            xs = sorted(xs)
+            m = len(xs) // 2
+            return xs[m] if len(xs) % 2 else round((xs[m - 1] + xs[m]) / 2, 3)
+
         kg_small, kg_big = best[n_small], best[n_big]
         # headline = peak end-to-end throughput observed across sizes
         kg_head = max(best.values(), key=lambda r: r["triples_per_sec"])
@@ -202,13 +221,19 @@ def main():
             "wall_sec_small": kg_small["wall_sec"],
             "wall_sec_big": kg_big["wall_sec"],
             "efficiency": round(eff, 3),
+            "efficiency_median": round(
+                (median(walls[n_small]) / median(walls[n_big])) / (n_big / n_small), 3
+            ),
             "best_per_size": {
                 str(c): {
                     "wall_sec": b["wall_sec"],
                     "triples_per_sec": b["triples_per_sec"],
+                    "wall_sec_median": median(walls[c]),
+                    "wall_sec_all": walls[c],
                 }
                 for c, b in sorted(best.items())
             },
+            "host_cpu_probe": cpu_probe(),
             "host_note": (
                 "sandbox host saturates ~10 effective cores under sustained "
                 "load; pair chosen inside that capacity so the ratio "

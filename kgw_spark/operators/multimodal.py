@@ -1,11 +1,16 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing (schemas, Arrow batch shapes, partitioning) is
-real and tested; the actual codec work is stubbed behind
-``_decode_stub`` because no image/audio libraries exist in this
-container — swap the stub for PIL/ffmpeg calls in production. Batches
-flow through ``mapInPandas`` so decode cost amortizes per Arrow batch,
-and wide binary payloads never pass through a Python row object.
+real and tested. Codec scope in this environment: no PIL/ffmpeg exist
+in the container, so the fully-implemented decode/resize/frame-sample
+paths operate on binary PPM (P6) payloads — a real, public image format
+parseable with numpy alone — and on videos encoded as concatenated P6
+frames. Compressed formats (JPEG/PNG/H.264) would swap the per-batch
+decode call for PIL/pyav with the identical mapInPandas shape. The
+embedding-style ``extract_features`` keeps a deterministic digest-based
+feature as its decoder placeholder. Batches flow through
+``mapInPandas`` so decode cost amortizes per Arrow batch, and wide
+binary payloads never pass through a Python row object.
 """
 
 from __future__ import annotations
@@ -13,6 +18,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -75,19 +81,121 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+# --------------------------------------------------------------------------
+# PPM (P6) codec — pure numpy, no external libraries
+# --------------------------------------------------------------------------
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → uint8 array (h, w, 3). Raises ValueError on
+    anything that isn't a maxval-255 P6 image."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header: magic, width, height, maxval — whitespace separated,
+    # '#' comments allowed between tokens
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3 and i < len(payload):
+        c = payload[i : i + 1]
+        if c == b"#":
+            i = payload.index(b"\n", i) + 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            tokens.append(payload[i:j])
+            i = j
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i + 1)
+    return raster.reshape(h, w, 3)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def _resize_nn(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample (pixel-center convention)."""
+    h, w, _ = img.shape
+    ys = np.minimum(((np.arange(height) + 0.5) * h / height).astype(int), h - 1)
+    xs = np.minimum(((np.arange(width) + 0.5) * w / width).astype(int), w - 1)
+    return img[ys][:, xs]
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("mime", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize plumbing — stubbed codec."""
-    raise NotImplementedError(
-        "image codecs unavailable in this environment; production "
-        "implementation is a mapInPandas stage identical in shape to "
-        "extract_features with PIL.Image.resize in the batch loop"
-    )
+    """Resize every ``kind == 'image'`` P6 payload to (width, height)
+    with nearest-neighbor sampling — decode, resample, and re-encode
+    run vectorized per Arrow batch. Compressed inputs would swap
+    decode_ppm/encode_ppm for PIL calls; nothing else changes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "mime": [], "width": [], "height": [], "payload": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_ppm(bytes(payload))
+                out["media_id"].append(mid)
+                out["mime"].append("image/x-portable-pixmap")
+                out["width"].append(width)
+                out["height"].append(height)
+                out["payload"].append(encode_ppm(_resize_nn(img, width, height)))
+            yield pd.DataFrame(out)
+
+    return media.filter("kind = 'image'").mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+
+def split_ppm_stream(payload: bytes) -> list[bytes]:
+    """Split a concatenated-P6 'video' payload into per-frame P6 blobs."""
+    frames = []
+    pos = 0
+    while pos < len(payload):
+        if payload[pos : pos + 2] != b"P6":
+            raise ValueError(f"bad frame boundary at byte {pos}")
+        img = decode_ppm(payload[pos:])
+        blob = encode_ppm(img)
+        # frames were encoded by encode_ppm, so re-encoding is an exact
+        # length oracle for the original frame slice
+        frames.append(payload[pos : pos + len(blob)])
+        pos += len(blob)
+    return frames
 
 
 def sample_frames(media: DataFrame, every_n: int) -> DataFrame:
-    """Video frame-sampling plumbing — stubbed codec."""
-    raise NotImplementedError(
-        "video codecs unavailable in this environment; production "
-        "implementation is a mapInPandas stage emitting one row per "
-        "sampled frame (posexplode of the decoded frame list)"
-    )
+    """One row per sampled frame (indices 0, every_n, 2·every_n, …) of
+    every ``kind == 'video'`` concatenated-P6 payload — the posexplode
+    shape a real container decoder (pyav) would feed identically."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "payload": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for idx, frame in enumerate(split_ppm_stream(bytes(payload))):
+                    if idx % every_n == 0:
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(idx)
+                        out["payload"].append(frame)
+            yield pd.DataFrame(out)
+
+    return media.filter("kind = 'video'").mapInPandas(run, schema=FRAMES_SCHEMA)

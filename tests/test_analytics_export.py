@@ -240,6 +240,17 @@ def test_schema_html(graph, tmp_path):
     analytics.schema_html(nodes, edges, str(p))
     text = p.read_text()
     assert "schema-data" in text and "triple_count" in text
+    # interactive layer is self-contained: inline SVG + script, no
+    # external asset references
+    assert "<svg id='viz'>" in text and "setInterval(tick" in text
+    assert "http" not in text.split("schema-data")[0].split("</style>")[1]
+    # payload parses and covers every node type
+    import json as _json
+
+    payload = _json.loads(text.split("id='schema-data'>")[1].split("</script>")[0])
+    assert {t["type"] for t in payload["node_types"]} >= {
+        r["source_type"] for r in payload["schema"]
+    }
 
 
 def test_jsonl_distributed_matches_driver(graph, tmp_path):

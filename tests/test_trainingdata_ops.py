@@ -195,8 +195,51 @@ def test_multimodal_features(spark):
     # determinism
     again = multimodal.extract_features(media, dim=8).collect()
     assert sorted(map(str, feats)) == sorted(map(str, again))
-    with pytest.raises(NotImplementedError):
-        multimodal.resize_images(media, 2, 2)
+
+
+def _ppm(w, h, fn):
+    import numpy as np
+
+    img = np.fromfunction(
+        lambda y, x, c: fn(y, x, c), (h, w, 3), dtype=float
+    ).astype("uint8")
+    return multimodal.encode_ppm(img), img
+
+
+def test_multimodal_resize_ppm(spark):
+    import numpy as np
+
+    payload, img = _ppm(4, 4, lambda y, x, c: y * 60 + x * 10 + c)
+    rows = [(1, "image", "image/x-portable-pixmap", payload, None),
+            (2, "audio", "audio/wav", b"RIFF fake", None)]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    out = multimodal.resize_images(media, 2, 2).collect()
+    assert len(out) == 1  # non-images filtered
+    r = out[0]
+    assert (r.width, r.height) == (2, 2)
+    got = multimodal.decode_ppm(bytes(r.payload))
+    # nearest-neighbor with pixel-center convention: picks rows/cols 1,3
+    exp = img[[1, 3]][:, [1, 3]]
+    assert np.array_equal(got, exp)
+    # corrupt payload must fail loudly, not silently pass through
+    bad = spark.createDataFrame(
+        [(3, "image", "image/png", b"\x89PNG not ppm", None)],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="P6|PythonException"):
+        multimodal.resize_images(bad, 2, 2).collect()
+
+
+def test_multimodal_sample_frames(spark):
+    frames = [_ppm(2, 2, lambda y, x, c: k * 40 + y + x + c)[0] for k in range(5)]
+    video = b"".join(frames)
+    media = spark.createDataFrame(
+        [(9, "video", "video/x-ppm-stream", video, None)],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    got = multimodal.sample_frames(media, every_n=2).collect()
+    assert [(r.media_id, r.frame_idx) for r in got] == [(9, 0), (9, 2), (9, 4)]
+    assert [bytes(r.payload) for r in got] == [frames[0], frames[2], frames[4]]
 
 
 def test_ivf_topk_recall(emb):
