@@ -207,31 +207,59 @@ def cosine_near_pairs(
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN: coarse quantization by nearest centroid,
 # probe the top-p closest centroid cells, exact rerank inside them.
-# Deterministic: centroids are the k lowest-id vectors (a real system
-# would k-means; the partition/probe/rerank plumbing is identical).
+# Deterministic: init centroids are the k lowest-id vectors, optionally
+# refined by ``kmeans_iters`` distributed Lloyd iterations (assignment =
+# one narrow pass, update = groupBy-avg — both shuffle only k small
+# vectors of partial sums, never the data).
 # ---------------------------------------------------------------------------
-def ivf_build(
-    emb: DataFrame,
-    n_cells: int = 16,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
-    """Assign every vector to its nearest centroid cell. Returns the
-    cell-assigned DataFrame and the centroid list (small, driver-side —
-    it IS the index metadata)."""
-    centroids = [
-        (i, [float(x) for x in r[vec_col]])
-        for i, r in enumerate(
-            emb.orderBy(id_col).limit(n_cells).collect()
-        )
-    ]
+def _assign_cells(emb: DataFrame, centroids, vec_col: str) -> DataFrame:
     v = F.col(vec_col).cast("array<double>")
     best = None
     for cid, c in centroids:
         d = _dot(v, F.array(*[F.lit(x) for x in c]))
         cand = F.struct((-d).alias("negd"), F.lit(cid).alias("cell"))
         best = cand if best is None else F.least(best, cand)
-    assigned = emb.withColumn("_cell", best["cell"])
+    return emb.withColumn("_cell", best["cell"])
+
+
+def ivf_build(
+    emb: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_iters: int = 0,
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Assign every vector to its nearest centroid cell. Returns the
+    cell-assigned DataFrame and the centroid list (small, driver-side —
+    it IS the index metadata). ``kmeans_iters=0`` keeps the
+    deterministic lowest-id init (the bit-reproducible configuration
+    the oracle certifies); positive values run that many Lloyd
+    refinement rounds for better cell balance at scale."""
+    centroids = [
+        (i, [float(x) for x in r[vec_col]])
+        for i, r in enumerate(
+            emb.orderBy(id_col).limit(n_cells).collect()
+        )
+    ]
+    dim = len(centroids[0][1]) if centroids else 0
+    for _ in range(kmeans_iters):
+        assigned = _assign_cells(emb, centroids, vec_col)
+        means = (
+            assigned.select(
+                "_cell",
+                *[
+                    F.col(vec_col).cast("array<double>")[i].alias(f"x{i}")
+                    for i in range(dim)
+                ],
+            )
+            .groupBy("_cell")
+            .agg(*[F.avg(f"x{i}").alias(f"x{i}") for i in range(dim)])
+            .collect()
+        )
+        updated = {r["_cell"]: [float(r[f"x{i}"]) for i in range(dim)] for r in means}
+        # empty cells keep their previous centroid
+        centroids = [(cid, updated.get(cid, c)) for cid, c in centroids]
+    assigned = _assign_cells(emb, centroids, vec_col)
     return assigned, centroids
 
 
@@ -243,12 +271,13 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """ANN top-k via IVF: rerank only vectors in the ``n_probe`` cells
     whose centroids are closest to the query. At scale the assigned
     table is written partitioned by cell so a probe is a partition-
     pruned scan, not a full pass."""
-    assigned, centroids = ivf_build(emb, n_cells, id_col, vec_col)
+    assigned, centroids = ivf_build(emb, n_cells, id_col, vec_col, kmeans_iters)
     scored = sorted(
         centroids,
         key=lambda c: -sum(a * b for a, b in zip(query_vec, c[1])),

@@ -126,3 +126,14 @@ def test_salted_link_plan_is_shuffle_hash(spark):
     m = extract_mentions(corpus_df(spark, rows))
     p = plan(link_salted(m, alias_df_from_truth(spark, truth)))
     assert "ShuffledHashJoin" in p
+
+
+def test_emb_near_pairs_certified_path_has_no_cartesian(spark):
+    """The oracle-certified emb_near_pairs entry must be the LSH-bucketed
+    scale path: no cartesian/nested-loop join anywhere in the plan
+    (VERDICT r1 #3 flagged the old exact=True crossJoin entry)."""
+    import __spark_entry__ as E
+
+    p = plan(E.queries()["emb_near_pairs"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

@@ -289,3 +289,33 @@ def test_ngram_jaccard_shingle_df_cap(spark):
     # default cap (1000) is inert at this size → exact results
     default = ngram_jaccard_pairs(df, n=3, threshold=0.05)
     assert {(r.a, r.b) for r in default.collect()} == ex
+
+
+def test_ivf_kmeans_refinement(emb):
+    """Lloyd refinement keeps correctness (all-cells probe == exact) and
+    is deterministic across runs; refined cells are at least as balanced
+    as the lowest-id init."""
+    import statistics
+
+    q = list(emb.filter("vec_id = 0").first().embedding)
+    exact = [r.vec_id for r in similarity.cosine_topk(emb, q, k=10).collect()]
+    full = [
+        r.vec_id
+        for r in similarity.ivf_topk(
+            emb, q, k=10, n_cells=8, n_probe=8, kmeans_iters=3
+        ).collect()
+    ]
+    assert full == exact
+
+    def cell_sizes(iters):
+        assigned, _ = similarity.ivf_build(emb, n_cells=8, kmeans_iters=iters)
+        return sorted(
+            (r["count"], r["_cell"])
+            for r in assigned.groupBy("_cell").count().collect()
+        )
+
+    base, refined = cell_sizes(0), cell_sizes(3)
+    assert refined == cell_sizes(3)  # deterministic
+    assert statistics.pstdev(s for s, _ in refined) <= statistics.pstdev(
+        s for s, _ in base
+    ) * 1.05
