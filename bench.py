@@ -77,6 +77,13 @@ def run_queries(spark) -> dict[str, float]:
     return times
 
 
+def _burn(iters: int) -> int:
+    x = 0
+    for i in range(iters):
+        x += i & 7
+    return x
+
+
 def cpu_probe(sizes=(8, 32), burn_iters=2_500_000) -> dict:
     """Host-capacity evidence recorded per run: aggregate pure-Python
     throughput at N concurrent processes. On a dedicated 32-core box
@@ -84,17 +91,11 @@ def cpu_probe(sizes=(8, 32), burn_iters=2_500_000) -> dict:
     which is why the scaling pair is 2→8 (see BASELINE.md)."""
     import multiprocessing as mp
 
-    def burn(_):
-        x = 0
-        for i in range(burn_iters):
-            x += i & 7
-        return x
-
     out = {}
     for n in sizes:
         with mp.Pool(n) as pool:
             t0 = time.time()
-            pool.map(burn, range(n * 2))
+            pool.map(_burn, [burn_iters] * (n * 2))
             out[str(n)] = round((n * 2) / (time.time() - t0), 3)
     out["ratio_32_over_8"] = round(out[str(sizes[1])] / out[str(sizes[0])], 3)
     return out
@@ -185,7 +186,7 @@ def main():
         # Interleaving trials and taking the best per size removes the
         # host's minute-scale performance weather. On a real cluster
         # this is the same spark-submit at two executor counts.
-        trials = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "2"))
+        trials = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "3"))
         n_small = int(os.environ.get("SPARK_GRAFT_SCALING_N", str(max(2, CPUS // 16))))
         n_big = n_small * 4
         sizes = [n_small, n_big] + ([CPUS] if CPUS not in (n_small, n_big) else [])
@@ -199,6 +200,14 @@ def main():
                 walls[cores].append(r["wall_sec"])
                 if cores not in best or r["wall_sec"] < best[cores]["wall_sec"]:
                     best[cores] = r
+        # paired (same-round, back-to-back = same host weather)
+        # efficiencies: each interleaved round contributes one
+        # small-vs-big ratio measured minutes apart, the closest this
+        # host gets to a controlled comparison
+        paired = [
+            round((walls[n_small][i] / walls[n_big][i]) / (n_big / n_small), 3)
+            for i in range(trials)
+        ]
 
         def median(xs: list[float]) -> float:
             xs = sorted(xs)
@@ -224,6 +233,8 @@ def main():
             "efficiency_median": round(
                 (median(walls[n_small]) / median(walls[n_big])) / (n_big / n_small), 3
             ),
+            "efficiency_paired": paired,
+            "efficiency_paired_median": median(paired),
             "best_per_size": {
                 str(c): {
                     "wall_sec": b["wall_sec"],

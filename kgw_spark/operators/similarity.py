@@ -161,9 +161,41 @@ def cosine_near_pairs(
         joined = left.crossJoin(right).filter(F.col("a") < F.col("b"))
     else:
         dim = len(emb.select(vec_col).first()[0])
+        planes_by_round = [
+            _planes(dim, n_planes, seed + r) for r in range(rounds)
+        ]
+        # Signatures via one Arrow-batched numpy matmul per batch: the
+        # column-expression formulation unrolls rounds×planes×dim fold
+        # terms (×7 probe variants) into a megabyte-scale plan that
+        # costs more to analyze/codegen than the data — the documented
+        # exception where a vectorized pandas UDF beats built-ins.
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        mats = [np.array(p).T for p in planes_by_round]  # dim x n_planes
+
+        def _sigs_of(vecs):
+            V = np.array(vecs.tolist(), dtype=np.float64)
+            out = np.zeros((len(V), len(mats)), dtype=np.int64)
+            for r, m in enumerate(mats):
+                bits = ((V @ m) >= 0).astype(np.int64)  # (n, n_planes) sign bits
+                out[:, r] = bits @ (1 << np.arange(m.shape[1], dtype=np.int64))
+            return pd.Series(out.tolist())
+
+        # explicit Series->Series hints via annotations dict: the
+        # module-level `from __future__ import annotations` breaks
+        # pyspark's type-hint inference for locally-defined UDFs
+        _sigs_of.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+        sigs_of = pandas_udf(_sigs_of, "array<long>")
+
+        sigs = emb.select(
+            F.col(id_col).alias("_id"),
+            sigs_of(F.col(vec_col).cast("array<double>")).alias("_sigs"),
+        )
         probe_arrays = []
         for r in range(rounds):
-            sig = _bucket_expr(vec_col, _planes(dim, n_planes, seed + r))
+            sig = F.col("_sigs")[r]
             variants = [sig]
             if probe_radius >= 1:
                 variants += [sig.bitwiseXOR(F.lit(1 << b)) for b in range(n_planes)]
@@ -181,9 +213,8 @@ def cosine_near_pairs(
                     ]
                 )
             )
-        probes = emb.select(
-            F.col(id_col).alias("_id"),
-            F.explode(F.flatten(F.array(*probe_arrays))).alias("p"),
+        probes = sigs.select(
+            "_id", F.explode(F.flatten(F.array(*probe_arrays))).alias("p")
         ).select("_id", "p.round", "p.bucket")
         pa = probes.select(F.col("_id").alias("a"), "round", "bucket")
         pb = probes.select(F.col("_id").alias("b"), "round", "bucket")

@@ -110,3 +110,115 @@ def windowed_event_counts(
             "sum_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: streaming sessionization via
+# applyInPandasWithState — per-user session assembly with gap timeout,
+# the canonical "operator Spark's built-ins can't express" (session
+# windows with per-session aggregates emitted on close). State is one
+# small tuple per user; event batches arrive Arrow-vectorized.
+# ---------------------------------------------------------------------------
+SESSION_SCHEMA = "user_id long, session_start string, session_end string, n_events int"
+_SESSION_STATE_SCHEMA = "start long, last long, n int"
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_sec: int = 1800,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Per-user sessions from a streaming (user_id, ts, ...) source:
+    a session closes when no event arrives within ``gap_sec``; closed
+    sessions are emitted with start/end/count. Event-time driven: the
+    watermark both bounds state and flushes sessions whose gap has
+    provably expired (timeout = event-time watermark, so results are
+    a pure function of the data, replayable in batch for the test's
+    stream==batch oracle)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def assemble(key, pdfs, state):
+        import pandas as pd
+
+        user_id = key[0]
+        # epoch milliseconds (state timeouts are ms-based)
+        event_ms = []
+        for pdf in pdfs:
+            event_ms.extend(
+                int(t.value // 1_000_000) for t in pd.to_datetime(pdf["ts"])
+            )
+        closed = []
+
+        def close(start, last, n):
+            closed.append(
+                (
+                    user_id,
+                    pd.Timestamp(start, unit="ms").strftime("%Y-%m-%d %H:%M:%S"),
+                    pd.Timestamp(last, unit="ms").strftime("%Y-%m-%d %H:%M:%S"),
+                    n,
+                )
+            )
+
+        if state.hasTimedOut:
+            start, last, n = state.get
+            close(start, last, n)
+            state.remove()
+        else:
+            event_ms.sort()
+            if state.exists:
+                start, last, n = state.get
+            else:
+                start, last, n = event_ms[0], event_ms[0] - 1, 0
+            for m in event_ms:
+                if m - last > gap_sec * 1000:
+                    if n:
+                        close(start, last, n)
+                    start, n = m, 0
+                last, n = m, n + 1
+            state.update((start, last, n))
+            state.setTimeoutTimestamp(last + gap_sec * 1000)
+        yield pd.DataFrame(
+            closed, columns=["user_id", "session_start", "session_end", "n_events"]
+        )
+
+    ts = F.col("ts").cast("timestamp")
+    return (
+        events.withColumn("ts", ts)
+        .withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            assemble,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def sessionize_batch_oracle(events_pdf, gap_sec: int = 1800):
+    """Pure-pandas reference for sessionize_stream on a bounded input
+    (all sessions closed at end-of-data) — the stream==batch test
+    oracle."""
+    import pandas as pd
+
+    out = []
+    for user_id, g in events_pdf.groupby("user_id"):
+        ms = sorted(int(t.value // 1_000_000) for t in pd.to_datetime(g["ts"]))
+        start, last, n = ms[0], ms[0], 1
+        for m in ms[1:]:
+            if m - last > gap_sec * 1000:
+                out.append((user_id, start, last, n))
+                start, n = m, 0
+            last, n = m, n + 1
+        out.append((user_id, start, last, n))
+    return sorted(
+        (
+            u,
+            pd.Timestamp(s, unit="ms").strftime("%Y-%m-%d %H:%M:%S"),
+            pd.Timestamp(e, unit="ms").strftime("%Y-%m-%d %H:%M:%S"),
+            n,
+        )
+        for u, s, e, n in out
+    )

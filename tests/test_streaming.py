@@ -70,3 +70,58 @@ def test_windowed_watermark_stream_matches_batch(spark, tmp_path):
     # emitted window must match the batch result exactly
     assert got
     assert all(batch[k] == v for k, v in got.items())
+
+
+def test_sessionize_stream_matches_batch_oracle(spark, tmp_path):
+    """applyInPandasWithState session assembly: sessions close on gap
+    or event-time timeout; over a bounded input (plus a watermark-
+    advancing sentinel) the emitted set equals the pure-pandas oracle."""
+    import pandas as pd
+
+    from kgw_spark.streaming.incremental import (
+        sessionize_batch_oracle,
+        sessionize_stream,
+    )
+
+    base = pd.Timestamp("2025-01-01 00:00:00")
+    rows = []
+    for u in range(3):
+        for k in range(3):  # session 1: 3 events, 10-minute spacing
+            rows.append((u, base + pd.Timedelta(minutes=10 * k + u)))
+        for k in range(2):  # session 2: 5 hours later
+            rows.append((u, base + pd.Timedelta(hours=5, minutes=7 * k + u)))
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+
+    drop, out, ck = (str(tmp_path / d) for d in ("drop", "out", "ck"))
+    events = spark.createDataFrame(pdf)
+    events.coalesce(1).write.mode("append").parquet(drop)
+
+    def run_available():
+        src = spark.readStream.schema(events.schema).parquet(drop)
+        q = (
+            sessionize_stream(src, gap_sec=1800, watermark_delay="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_available()
+    # sentinel far in the future advances the watermark past every
+    # session timeout on the second run
+    sentinel = spark.createDataFrame(
+        pd.DataFrame([(99, base + pd.Timedelta(days=30))], columns=["user_id", "ts"])
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(drop)
+    run_available()
+
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(out).filter("user_id < 99").collect()
+    )
+    assert got == sessionize_batch_oracle(pdf, gap_sec=1800)
+    # two sessions per user, correct event counts
+    assert len(got) == 6 and {g[3] for g in got} == {3, 2}
