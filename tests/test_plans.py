@@ -137,3 +137,98 @@ def test_emb_near_pairs_certified_path_has_no_cartesian(spark):
     p = plan(E.queries()["emb_near_pairs"](spark, SF))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located join via bucketing: two tables bucketed on the join
+    key produce a join plan with NO shuffle exchange (and no Sort when
+    the buckets are pre-sorted) — the write-once/join-many shape big
+    fact-to-fact joins need at 100 TB."""
+    from kgw_spark.sinks.bucketed import read_bucketed, write_bucketed
+
+    left = spark.range(10_000).selectExpr("id AS k", "id * 2 AS v1")
+    right = spark.range(10_000).selectExpr("id AS k", "id * 3 AS v2")
+    write_bucketed(left, "bk_left", "k", num_buckets=8, sort_by="k",
+                   path=str(tmp_path / "bk_left"))
+    write_bucketed(right, "bk_right", "k", num_buckets=8, sort_by="k",
+                   path=str(tmp_path / "bk_right"))
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = read_bucketed(spark, "bk_left").join(
+            read_bucketed(spark, "bk_right"), "k"
+        )
+        p = plan(j)
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p  # co-located: bucket layout reused
+        assert j.count() == 10_000
+        # the same files read WITHOUT catalog metadata DO shuffle —
+        # proves the no-Exchange plan comes from bucketing, not size
+        raw = spark.read.parquet(str(tmp_path / "bk_left")).join(
+            spark.read.parquet(str(tmp_path / "bk_right")), "k"
+        )
+        assert "Exchange" in plan(raw)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.sql("DROP TABLE IF EXISTS bk_left")
+        spark.sql("DROP TABLE IF EXISTS bk_right")
+
+
+def test_store_partition_pruning(spark, tmp_path):
+    """Reading a type-partitioned store table with a type filter must
+    prune partitions at the scan (the north rule's partition layout
+    paying off: a one-type query touches one directory, not the table)."""
+    from kgw_spark.sinks.store import TableStore
+
+    store = TableStore(str(tmp_path / "pp"))
+    df = spark.createDataFrame(
+        [(f"id{i}", "alpha" if i % 2 else "beta", "{}") for i in range(100)],
+        "id string, type string, properties string",
+    )
+    store.write(df, "nodes", partition_by="type")
+    q = store.read(spark, "nodes").filter("type = 'alpha'")
+    p = plan(q)
+    pf = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
+    assert pf and "type" in pf[0] and "alpha" in pf[0]
+    # the data filter is NOT re-applied post-scan (pruning is complete)
+    assert q.count() == 50
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew-join handling: a hot key that dwarfs every other
+    partition is split at runtime (executed plan marks the join
+    skew=true) — the backstop behind the explicit salting helpers."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "8KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        from pyspark.sql import functions as F2
+
+        left = spark.range(400_000).select(
+            F2.when(F2.col("id") % 10 < 9, F2.lit(0))
+            .otherwise(F2.col("id"))
+            .alias("k"),
+            F2.concat(F2.lit("payload_"), F2.col("id")).alias("pad"),
+        )
+        right = spark.range(50_000).selectExpr("id AS k", "id AS w")
+        j = left.join(right, "k").select("k")
+        # execute THIS DataFrame's own query execution so the adaptive
+        # plan we inspect is the finalized one (a .write/.count spawns a
+        # separate execution)
+        assert len(j.collect()) > 0
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final
+        assert "skew=true" in final, final[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
