@@ -11,8 +11,10 @@ enforced in DownloadFile.run kgw/_shared/tasks.py:116-128).
 
 from __future__ import annotations
 
+import itertools
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -84,19 +86,30 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             sub = pdf.loc[sub_idx]
             sub_lineage = lineage.loc[sub_idx]
             for pred, rx, s_tpl, o_tpl in rules:
-                # vectorized: one extractall per (rule, lang-slice)
-                hits = sub["content"].str.extractall(rx)
-                if hits.empty:
+                # vectorized: one findall per (rule, lang-slice) —
+                # ~10x cheaper than extractall on high-hit rules (no
+                # MultiIndex frame built per match)
+                lists = sub["content"].str.findall(rx)
+                counts = lists.str.len()
+                nz = counts > 0
+                if not nz.any():
                     continue
-                row_idx = hits.index.get_level_values(0)
+                lists, counts = lists[nz], counts[nz]
+                row_idx = np.repeat(lists.index.to_numpy(), counts.to_numpy())
+                flat = list(itertools.chain.from_iterable(lists.to_numpy()))
                 base = sub_lineage.loc[row_idx].reset_index(drop=True)
-                hits = hits.reset_index(drop=True)
+                # findall yields strings for 1-group patterns, tuples
+                # for multi-group — normalize to positional columns
+                if flat and isinstance(flat[0], tuple):
+                    hits = pd.DataFrame(flat)
+                else:
+                    hits = pd.DataFrame({0: flat})
 
                 def col_for(tpl: str) -> pd.Series:
                     prefix, gi = _tpl_parts(tpl)
                     if prefix is None:
                         return base["fid"]
-                    return prefix + hits[gi].astype(str)
+                    return prefix + hits[gi]
 
                 frames.append(
                     pd.DataFrame(
