@@ -364,37 +364,68 @@ def _sq(s: str | None) -> str:
 
 def to_sql_dump(nodes: DataFrame, edges: DataFrame, filepath: str) -> None:
     with open(filepath, "w") as f:
-        f.write("BEGIN TRANSACTION;\n")
-        f.write(
-            "CREATE TABLE nodes (\n"
-            "        id TEXT PRIMARY KEY,\n"
-            "        type TEXT NOT NULL,\n"
-            "        properties TEXT\n"
-            "    );\n"
-        )
+        f.write(_SQL_DUMP_NODES_DDL)
         for r in _ordered_nodes(nodes).toLocalIterator():
-            f.write(
-                f"INSERT INTO \"nodes\" VALUES({_sq(r['id'])},{_sq(r['type'])},"
-                f"{_sq(r['properties'])});\n"
-            )
-        f.write(
-            "CREATE TABLE edges (\n"
-            "        source_id TEXT NOT NULL,\n"
-            "        target_id TEXT NOT NULL,\n"
-            "        type TEXT NOT NULL,\n"
-            "        properties TEXT,\n"
-            "        FOREIGN KEY (source_id) REFERENCES nodes (id),\n"
-            "        FOREIGN KEY (target_id) REFERENCES nodes (id)\n"
-            "    );\n"
-        )
+            f.write(_node_insert(r))
+        f.write(_SQL_DUMP_EDGES_DDL)
         for r in _ordered_edges(edges).toLocalIterator():
-            f.write(
-                f"INSERT INTO \"edges\" VALUES({_sq(r['source_id'])},"
-                f"{_sq(r['target_id'])},{_sq(r['type'])},{_sq(r['properties'])});\n"
-            )
-        f.write("CREATE INDEX idx_edges_source ON edges (source_id);\n")
-        f.write("CREATE INDEX idx_edges_target ON edges (target_id);\n")
-        f.write("COMMIT;\n")
+            f.write(_edge_insert(r))
+        f.write(_SQL_DUMP_FOOTER)
+
+
+_SQL_DUMP_NODES_DDL = (
+    "BEGIN TRANSACTION;\n"
+    "CREATE TABLE nodes (\n"
+    "        id TEXT PRIMARY KEY,\n"
+    "        type TEXT NOT NULL,\n"
+    "        properties TEXT\n"
+    "    );\n"
+)
+_SQL_DUMP_EDGES_DDL = (
+    "CREATE TABLE edges (\n"
+    "        source_id TEXT NOT NULL,\n"
+    "        target_id TEXT NOT NULL,\n"
+    "        type TEXT NOT NULL,\n"
+    "        properties TEXT,\n"
+    "        FOREIGN KEY (source_id) REFERENCES nodes (id),\n"
+    "        FOREIGN KEY (target_id) REFERENCES nodes (id)\n"
+    "    );\n"
+)
+_SQL_DUMP_FOOTER = (
+    "CREATE INDEX idx_edges_source ON edges (source_id);\n"
+    "CREATE INDEX idx_edges_target ON edges (target_id);\n"
+    "COMMIT;\n"
+)
+
+
+def _node_insert(r) -> str:
+    return (
+        f"INSERT INTO \"nodes\" VALUES({_sq(r['id'])},{_sq(r['type'])},"
+        f"{_sq(r['properties'])});\n"
+    )
+
+
+def _edge_insert(r) -> str:
+    return (
+        f"INSERT INTO \"edges\" VALUES({_sq(r['source_id'])},"
+        f"{_sq(r['target_id'])},{_sq(r['type'])},{_sq(r['properties'])});\n"
+    )
+
+
+def sql_dump_text(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Distributed L2: sqlite-iterdump-format INSERT statements rendered
+    executor-side, DDL/footer as single-row sections. Write with
+    ``df.write.text(dir)``; concatenated shards equal to_sql_dump's
+    byte stream (parity-tested)."""
+    spark = nodes.sparkSession
+    return _sectioned_text(
+        spark,
+        [
+            (_SQL_DUMP_NODES_DDL, _ordered_nodes(nodes).rdd.map(_node_insert)),
+            (_SQL_DUMP_EDGES_DDL, _ordered_edges(edges).rdd.map(_edge_insert)),
+            (_SQL_DUMP_FOOTER, None),
+        ],
+    )
 
 
 def to_sqlite(nodes: DataFrame, edges: DataFrame, db_filepath: str) -> None:

@@ -300,3 +300,11 @@ def test_metta_repr3_distributed_matches_driver(graph, tmp_path):
         for r in export.metta_properties_expanded_text(nodes, edges).collect()
     )
     assert dist == p.read_text()
+
+
+def test_sql_dump_distributed_matches_driver(graph, tmp_path):
+    nodes, edges = graph
+    p = tmp_path / "kg.sql"
+    export.to_sql_dump(nodes, edges, str(p))
+    dist = "".join(r.value for r in export.sql_dump_text(nodes, edges).collect())
+    assert dist == p.read_text()
