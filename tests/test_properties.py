@@ -114,3 +114,65 @@ def test_union_find_partition_properties(pairs):
     for a, b in pairs:
         if a != b:
             assert mapping[a] == mapping[b]
+
+
+@given(
+    st.integers(1, 12),
+    st.integers(1, 12),
+    st.integers(1, 8),
+    st.integers(1, 8),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_ppm_resize_roundtrip_properties(w, h, tw, th, seed):
+    """PPM codec properties: encode∘decode identity; nearest-neighbor
+    resize output contains only source pixels and has exact shape."""
+    import numpy as np
+
+    from kgw_spark.operators.multimodal import _resize_nn, decode_ppm, encode_ppm
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    out = _resize_nn(img, tw, th)
+    assert out.shape == (th, tw, 3)
+    src_px = {tuple(p) for p in img.reshape(-1, 3)}
+    assert {tuple(p) for p in out.reshape(-1, 3)} <= src_px
+
+
+@given(
+    st.dictionaries(
+        st.text(st.characters(codec="ascii", min_codepoint=32, exclude_characters='"\\'), min_size=1, max_size=6),
+        st.text(st.characters(codec="ascii", min_codepoint=32, exclude_characters='"\\'), max_size=8),
+        max_size=5,
+    ),
+    st.dictionaries(
+        st.text(st.characters(codec="ascii", min_codepoint=32, exclude_characters='"\\'), min_size=1, max_size=6),
+        st.text(st.characters(codec="ascii", min_codepoint=32, exclude_characters='"\\'), max_size=8),
+        max_size=5,
+    ),
+)
+@settings(max_examples=25, deadline=None)
+def test_merge_json_matches_dict_update(spark, base, ann):
+    """_merge_json == dict.update byte-for-byte on flat string objects.
+
+    Scope: printable strings — Spark's to_json emits uppercase unicode
+    escapes (\u000B) for control chars where orjson/python emit
+    lowercase; parsed values stay identical, bytes differ only there
+    (documented deviation)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from kgw_spark.sources.readers import _jdumps, _merge_json
+
+    df = spark.createDataFrame(
+        [( _jdumps(base), _jdumps(ann) )], "props string, ann string"
+    )
+    got = df.select(_merge_json("props", "ann").alias("m")).first()["m"]
+    expected = dict(base)
+    expected.update(ann)
+    assert _json.loads(got) == expected
+    # byte equality whenever the merge path runs (non-trivial sides)
+    if base and ann:
+        assert got == _jdumps(expected)
