@@ -251,6 +251,59 @@ def minhash_lsh_pairs(
 
 
 # --------------------------------------------------------------------------
+# near-dup cluster resolution: pairs → components → representatives
+# --------------------------------------------------------------------------
+def near_dup_clusters(
+    docs: DataFrame,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The full production dedup flow: MinHash-LSH near-dup pairs →
+    connected components (near-duplication is transitive-closed so one
+    survivor represents each cluster, not each pair) → ``(doc_id,
+    rep_id)`` with rep = min id per cluster. Docs in no pair are
+    implicitly their own representative (not emitted). Downstream:
+    ``docs.join(clusters, id_col, "left_anti" | keep rep rows)``."""
+    from kgw_spark.operators.canon import connected_components
+
+    # CC ids are strings with lexicographic-min representatives:
+    # zero-pad numeric ids so lexicographic min == numeric min
+    id_type = dict(docs.dtypes)[id_col]
+    integral = id_type in ("tinyint", "smallint", "int", "bigint")
+
+    def pad(c):
+        return (
+            F.format_string("%020d", F.col(c)) if integral else F.col(c).cast("string")
+        )
+    pairs = minhash_lsh_pairs(
+        docs, n, num_perm, bands, threshold, seed, id_col, text_col
+    ).select(pad("a").alias("u"), pad("b").alias("v"))
+    mapping = connected_components(pairs)
+    return mapping.select(
+        F.col("id").cast(id_type).alias(id_col),
+        F.col("canonical_id").cast(id_type).alias("rep_id"),
+    )
+
+
+def dedup_near(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """Keep one representative per near-dup cluster plus all unclustered
+    docs — the operator a 100-TB training-data pipeline actually runs."""
+    clusters = near_dup_clusters(docs, threshold=threshold, id_col=id_col, **kwargs)
+    losers = clusters.filter(F.col(id_col) != F.col("rep_id")).select(id_col)
+    return docs.join(losers, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
 def simhash(

@@ -319,3 +319,34 @@ def test_ivf_kmeans_refinement(emb):
     assert statistics.pstdev(s for s, _ in refined) <= statistics.pstdev(
         s for s, _ in base
     ) * 1.05
+
+
+def test_near_dup_cluster_resolution(spark, docs):
+    """Cluster resolution: chain a~b~c of near-dups resolves to ONE
+    representative (transitivity), dedup_near keeps reps + singletons."""
+    base = docs.filter("doc_id = 0").first()
+    words = base.text.split()
+    v1, v2 = list(words), list(words)
+    v1[1] = "aaa"
+    v2[2] = "bbb"
+    extra = spark.createDataFrame(
+        [
+            (7001, " ".join(v1), base.lang, base.source, base.n_chars),
+            (7002, " ".join(v2), base.lang, base.source, base.n_chars),
+        ],
+        schema=docs.schema,
+    )
+    aug = docs.union(extra)
+    clusters = {
+        r.doc_id: r.rep_id
+        for r in dedup.near_dup_clusters(aug, threshold=0.5).collect()
+    }
+    # 0, 7001, 7002 share one cluster with rep 0 (min id)
+    assert clusters.get(0) == 0 and clusters.get(7001) == 0 and clusters.get(7002) == 0
+    kept = dedup.dedup_near(aug, threshold=0.5)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert 0 in kept_ids and 7001 not in kept_ids and 7002 not in kept_ids
+    # exactly the non-representative cluster members are dropped (the
+    # corpus itself contains planted near-dups beyond our additions)
+    losers = {d for d, rep in clusters.items() if d != rep}
+    assert kept_ids == {r.doc_id for r in aug.select("doc_id").collect()} - losers
