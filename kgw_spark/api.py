@@ -104,22 +104,57 @@ class Project:
     def to_schema(self):
         return self._add("schema.html", lambda n, e, p: analytics.schema_html(n, e, p))
 
-    def to_sql(self):
+    def to_sql(self, distributed: bool = False):
+        """``distributed=True`` renders a sharded directory of the same
+        byte stream via the executor-side twin (one file per partition,
+        atomic directory rename) — the 100-TB export path. Same flag on
+        the other exporters."""
+        if distributed:
+            return self._add(
+                "kg_sql",
+                lambda n, e, p: export.sql_dump_text(n, e)
+                .write.mode("overwrite")
+                .text(p),
+            )
         return self._add("kg.sql", lambda n, e, p: export.to_sql_dump(n, e, p))
 
-    def to_csv(self):
+    def to_csv(self, distributed: bool = False):
+        if distributed:
+            self._add("kg_nodes_csv", lambda n, e, p: export.to_csv_distributed(n, p))
+            return self._add(
+                "kg_edges_csv", lambda n, e, p: export.to_csv_distributed(e, p)
+            )
         self._add("kg_nodes.csv", lambda n, e, p: export.to_csv(n, p))
         return self._add("kg_edges.csv", lambda n, e, p: export.to_csv(e, p))
 
-    def to_jsonl(self):
+    def to_jsonl(self, distributed: bool = False):
+        if distributed:
+            self._add(
+                "kg_nodes_jsonl", lambda n, e, p: export.to_jsonl_distributed(n, p)
+            )
+            return self._add(
+                "kg_edges_jsonl", lambda n, e, p: export.to_jsonl_distributed(e, p)
+            )
         self._add("kg_nodes.jsonl", lambda n, e, p: export.to_jsonl(n, p))
         return self._add("kg_edges.jsonl", lambda n, e, p: export.to_jsonl(e, p))
 
-    def to_metta(self, representation: str = "spo"):
+    def to_metta(self, representation: str = "spo", distributed: bool = False):
         if representation not in VALID_METTA:
             raise ValueError(
                 f"Unknown representation: {representation}. "
                 f"Valid: {', '.join(VALID_METTA)}"
+            )
+        if distributed:
+            dfn = {
+                "spo": lambda n, e: export.triples_text(e),
+                "properties_aggregated": export.metta_properties_aggregated_text,
+                "properties_expanded": export.metta_properties_expanded_text,
+            }[representation]
+            return self._add(
+                f"kg_{representation}_metta",
+                lambda n, e, p, dfn=dfn: dfn(n, e)
+                .write.mode("overwrite")
+                .text(p),
             )
         fn = {
             "spo": export.to_metta_spo,
@@ -130,7 +165,14 @@ class Project:
             f"kg_{representation}.metta", lambda n, e, p, fn=fn: fn(n, e, p)
         )
 
-    def to_graphml(self):
+    def to_graphml(self, distributed: bool = False):
+        if distributed:
+            return self._add(
+                "kg_graphml",
+                lambda n, e, p: export.graphml_text(n, e)
+                .write.mode("overwrite")
+                .text(p),
+            )
         return self._add("kg.graphml", lambda n, e, p: export.to_graphml(n, e, p))
 
 
@@ -192,7 +234,11 @@ def run(
                 render(nodes, edges, tmp)
                 os.rename(tmp, path)
             except Exception:
-                if os.path.exists(tmp):
+                if os.path.isdir(tmp):
+                    import shutil
+
+                    shutil.rmtree(tmp, ignore_errors=True)
+                elif os.path.exists(tmp):
                     os.remove(tmp)
                 log("Failed", path)
                 raise

@@ -160,18 +160,25 @@ def to_metta_properties_aggregated(
             f.write(_repr2_edge_block(row, i))
 
 
+def _strip_nl(v: str) -> str:
+    return v[:-1] if v.endswith("\n") else v
+
+
 def _sectioned_text(spark, sections) -> DataFrame:
     """Build the ordered single-column export DataFrame from a list of
     (header_string | None, rdd_of_value_strings | None) sections; RDD
-    union preserves per-section partition order, so writing/iterating
-    the result reproduces the driver render byte-for-byte."""
+    union preserves per-section partition order. Rows carry NO trailing
+    newline (``df.write.text`` appends the line separator), so a
+    sharded ``.write.text(dir)`` — or ``"\\n".join(rows) + "\\n"`` —
+    reproduces the driver render byte-for-byte. Multi-line blocks keep
+    their INTERNAL newlines inside one row."""
     sc = spark.sparkContext
     parts = []
     for header, rdd in sections:
         if header is not None:
-            parts.append(sc.parallelize([header], 1))
+            parts.append(sc.parallelize([_strip_nl(header)], 1))
         if rdd is not None:
-            parts.append(rdd)
+            parts.append(rdd.map(_strip_nl))
     out = parts[0]
     for p in parts[1:]:
         out = out.union(p)

@@ -276,35 +276,35 @@ def test_graphml_distributed_matches_driver(graph, tmp_path):
     nodes, edges = graph
     p = tmp_path / "kg.graphml"
     export.to_graphml(nodes, edges, str(p))
-    dist = "".join(r.value for r in export.graphml_text(nodes, edges).collect())
-    assert dist == p.read_text()
+    rows = [r.value for r in export.graphml_text(nodes, edges).collect()]
+    assert "\n".join(rows) + "\n" == p.read_text()  # == .write.text() bytes
 
 
 def test_metta_repr2_distributed_matches_driver(graph, tmp_path):
     nodes, edges = graph
     p = tmp_path / "kg2.metta"
     export.to_metta_properties_aggregated(nodes, edges, str(p))
-    dist = "".join(
+    rows = [
         r.value
         for r in export.metta_properties_aggregated_text(nodes, edges).collect()
-    )
-    assert dist == p.read_text()
+    ]
+    assert "\n".join(rows) + "\n" == p.read_text()
 
 
 def test_metta_repr3_distributed_matches_driver(graph, tmp_path):
     nodes, edges = graph
     p = tmp_path / "kg3.metta"
     export.to_metta_properties_expanded(nodes, edges, str(p))
-    dist = "".join(
+    rows = [
         r.value
         for r in export.metta_properties_expanded_text(nodes, edges).collect()
-    )
-    assert dist == p.read_text()
+    ]
+    assert "\n".join(rows) + "\n" == p.read_text()
 
 
 def test_sql_dump_distributed_matches_driver(graph, tmp_path):
     nodes, edges = graph
     p = tmp_path / "kg.sql"
     export.to_sql_dump(nodes, edges, str(p))
-    dist = "".join(r.value for r in export.sql_dump_text(nodes, edges).collect())
-    assert dist == p.read_text()
+    rows = [r.value for r in export.sql_dump_text(nodes, edges).collect()]
+    assert "\n".join(rows) + "\n" == p.read_text()

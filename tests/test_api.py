@@ -79,3 +79,31 @@ def test_run_arg_validation(spark):
 def test_invalid_metta_representation(hald_project):
     with pytest.raises(ValueError, match="Unknown representation"):
         hald_project.to_metta("bogus")
+
+
+def test_distributed_outputs_match_driver_renders(spark, hald_project, tmp_path):
+    """distributed=True exporters write sharded directories whose
+    concatenated lines equal the single-file driver renders."""
+    import glob
+    import os
+
+    proj = hald_project
+    proj._outputs = []
+    proj.to_graphml().to_graphml(distributed=True)
+    proj.to_sql().to_sql(distributed=True)
+    proj.to_metta("properties_expanded").to_metta(
+        "properties_expanded", distributed=True
+    )
+    from kgw_spark import api
+
+    assert api.run(spark, proj)
+    for single, sharded in (
+        ("kg.graphml", "kg_graphml"),
+        ("kg.sql", "kg_sql"),
+        ("kg_properties_expanded.metta", "kg_properties_expanded_metta"),
+    ):
+        driver = open(os.path.join(proj.results_dir, single)).read()
+        parts = sorted(glob.glob(os.path.join(proj.results_dir, sharded, "part-*")))
+        assert parts, sharded
+        dist = "".join(open(f).read() for f in parts)
+        assert dist == driver, sharded
