@@ -132,3 +132,32 @@ def test_store_commit_is_crash_safe(spark, tmp_path):
     # no stranded .old_* copies after a clean overwrite
     leftovers = [f for f in os.listdir(store.tables_dir) if ".old_" in f]
     assert leftovers == []
+
+
+def test_pipeline_handles_empty_alias_and_empty_corpus(spark, tmp_path):
+    """Degenerate inputs must flow through, not crash: an empty alias
+    dictionary leaves ids unlinked; an empty corpus produces empty (but
+    readable, schema-correct) node/edge tables."""
+    from kgw_spark.model import CORPUS_SCHEMA
+    from kgw_spark.sources.corpus import corpus_df, generate_corpus
+
+    empty_alias = spark.createDataFrame(
+        [], schema="alias_id string, canonical_id string, score double"
+    )
+    rows, truth = generate_corpus(n_repos=2, files_per_repo=3, seed=5)
+    res = run_pipeline(
+        spark, corpus_df(spark, rows), empty_alias,
+        TableStore(str(tmp_path / "ea")), input_fingerprint="ea",
+    )
+    got = {(r.subj, r.pred, r.obj) for r in triple_view(res.edges).collect()}
+    assert got == truth.raw_mentions  # no linking → raw mentions survive
+
+    empty_corpus = spark.createDataFrame([], schema=CORPUS_SCHEMA)
+    res2 = run_pipeline(
+        spark, empty_corpus, empty_alias,
+        TableStore(str(tmp_path / "ec")), input_fingerprint="ec",
+    )
+    assert res2.edges.count() == 0 and res2.nodes.count() == 0
+    assert [f.name for f in res2.edges.schema.fields] == [
+        "source_id", "target_id", "type", "properties"
+    ]
