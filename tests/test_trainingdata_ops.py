@@ -350,3 +350,36 @@ def test_near_dup_cluster_resolution(spark, docs):
     # corpus itself contains planted near-dups beyond our additions)
     losers = {d for d, rep in clusters.items() if d != rep}
     assert kept_ids == {r.doc_id for r in aug.select("doc_id").collect()} - losers
+
+
+def test_multimodal_audio_features(spark):
+    """WAV codec + features: a pure sine has known RMS (~1/sqrt(2) of
+    peak) and zero-crossing rate (2 crossings per cycle)."""
+    import numpy as np
+
+    rate = 8000
+    t = np.arange(rate)  # 1 second
+    freq = 100.0
+    sine = 0.5 * np.sin(2 * np.pi * freq * t / rate)
+    silence = np.zeros(rate // 2)
+    rows = [
+        (1, "audio", "audio/wav", multimodal.encode_wav(sine, rate), None),
+        (2, "audio", "audio/wav", multimodal.encode_wav(silence, rate), None),
+        (3, "image", "image/x-ppm", b"P6 not audio", None),  # filtered out
+    ]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in multimodal.audio_features(media).collect()}
+    assert set(got) == {1, 2}
+    s = got[1]
+    assert s.sample_rate == rate and s.n_samples == rate
+    assert abs(s.duration_sec - 1.0) < 1e-9
+    assert abs(s.rms - 0.5 / np.sqrt(2)) < 1e-3
+    # 100 Hz sine: 200 sign changes / 8000 samples = 0.025
+    assert abs(s.zero_crossing_rate - 2 * freq / rate) < 2e-3
+    assert abs(s.peak - 0.5) < 1e-3
+    q = got[2]
+    assert q.rms == 0.0 and q.peak == 0.0 and abs(q.duration_sec - 0.5) < 1e-9
+    # decode/encode round-trip at 16-bit quantization precision
+    # (encode scales by 32767, decode divides by 32768 → ~2 LSB bound)
+    x, r2 = multimodal.decode_wav(multimodal.encode_wav(sine, rate))
+    assert r2 == rate and np.max(np.abs(x - sine)) < 2.0 / 32768
