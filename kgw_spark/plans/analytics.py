@@ -209,6 +209,42 @@ setInterval(tick, 40);
 """
 
 
+def k_hop(edges: DataFrame, node_id: str, k: int) -> DataFrame:
+    """BFS distances ≤ k from ``node_id`` over the undirected edge set:
+    ``(id, hop)`` with hop = shortest undirected distance. Iterative
+    frontier expansion — one join per level against the symmetrized
+    edges, frontier broadcast while small (size-gated), every level
+    ``localCheckpoint``-ed to cut lineage (same discipline as the CC
+    loop). Extends A7's 1-hop neighborhood to the k-hop query surface
+    users point at the store."""
+    spark = edges.sparkSession
+    sym = (
+        edges.select(F.col("source_id").alias("u"), F.col("target_id").alias("v"))
+        .union(
+            edges.select(F.col("target_id").alias("u"), F.col("source_id").alias("v"))
+        )
+        .distinct()
+    )
+    visited = spark.createDataFrame([(node_id, 0)], "id string, hop int")
+    frontier = visited
+    for hop in range(1, k + 1):
+        nxt = (
+            sym.join(
+                broadcast_if_small(frontier.select(F.col("id").alias("u"))), "u"
+            )
+            .select(F.col("v").alias("id"))
+            .distinct()
+            .join(visited, "id", "left_anti")
+            .withColumn("hop", F.lit(hop))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
 def schema_html(nodes: DataFrame, edges: DataFrame, filepath: str) -> None:
     """A6 (load.py:134-184): interactive schema visualization. The
     reference renders a gravis/d3 HTML of the *schema* graph (tiny —
