@@ -1,0 +1,109 @@
+"""PageRank over the KG edge set — exact integer arithmetic.
+
+Floating-point PageRank sums contributions in shuffle order, so the
+low bits differ run to run and the result can't be value-oracled.
+This implementation scales all rank mass to 64-bit integers
+(``rank_scaled = rank * scale``) and expresses damping as a rational
+(num/den), so every operation is exact and order-independent:
+
+- contribution of an edge u→v: ``rank(u) div out_degree(u)`` (integer
+  floor division; the dropped remainder is deterministic),
+- update: ``rank'(v) = teleport + (num * Σ contribs) div den`` with
+  ``teleport = ((den - num) * scale) div den``,
+- dangling nodes (no out-edges) keep receiving teleport mass but their
+  own mass is dropped — the standard simplification, documented.
+
+Initial rank is ``scale`` per node (total mass N·scale; bounded far
+under 2^63 for any realistic N at scale=10^9..10^12). A pure-Python
+replica (``pagerank_py``) computes bit-identical results — the oracle.
+Plan shape per iteration: one join edges⋈ranks on the source id (the
+out-degree join is precomputed once), one groupBy target, one
+left join back to the node set; each iteration ``localCheckpoint``-ed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _graph_parts(edges: DataFrame):
+    src = edges.select(F.col("source_id").alias("id"))
+    tgt = edges.select(F.col("target_id").alias("id"))
+    nodes = src.union(tgt).distinct()
+    out_deg = edges.groupBy(F.col("source_id").alias("_u")).agg(
+        F.count(F.lit(1)).alias("_deg")
+    )
+    return nodes, out_deg
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 10,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Returns ``(id, rank_scaled)`` after ``iters`` exact iterations."""
+    nodes, out_deg = _graph_parts(edges)
+    nodes = nodes.localCheckpoint(eager=True)
+    teleport = ((damping_den - damping_num) * scale) // damping_den
+    ranks = nodes.withColumn("rank_scaled", F.lit(scale).cast("long"))
+    # per-edge contribution denominator never changes — join once
+    links = (
+        edges.select(F.col("source_id").alias("_u"), F.col("target_id").alias("_v"))
+        .join(out_deg, "_u")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        contribs = (
+            links.join(ranks, links["_u"] == ranks["id"])
+            .select(
+                F.col("_v").alias("id"),
+                F.expr("rank_scaled div _deg").alias("_c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        ranks = (
+            nodes.join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"({damping_num} * coalesce(_s, 0L)) div {damping_den}"
+                    )
+                ).cast("long").alias("rank_scaled"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def pagerank_py(
+    edge_list: list[tuple[str, str]],
+    iters: int = 10,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**12,
+) -> dict[str, int]:
+    """Pure-Python replica — bit-identical to ``pagerank`` (exact
+    integer arithmetic is order-independent). The independent oracle."""
+    nodes: set[str] = set()
+    out_deg: dict[str, int] = {}
+    for u, v in edge_list:
+        nodes.add(u)
+        nodes.add(v)
+        out_deg[u] = out_deg.get(u, 0) + 1
+    teleport = ((damping_den - damping_num) * scale) // damping_den
+    ranks = {n: scale for n in nodes}
+    for _ in range(iters):
+        sums: dict[str, int] = {}
+        for u, v in edge_list:
+            sums[v] = sums.get(v, 0) + ranks[u] // out_deg[u]
+        ranks = {
+            n: teleport + (damping_num * sums.get(n, 0)) // damping_den
+            for n in nodes
+        }
+    return ranks

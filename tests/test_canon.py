@@ -66,3 +66,23 @@ def test_self_loops_and_duplicates(spark):
     df = spark.createDataFrame(pairs, schema="u string, v string")
     out = {r.id: r.canonical_id for r in connected_components(df).collect()}
     assert out == {"a": "a", "b": "a", "x": "x", "y": "x"}
+
+
+def test_pagerank_matches_python_replica_exactly(spark):
+    """Integer-scaled PageRank is bit-identical between the distributed
+    and pure-Python implementations (order-independent arithmetic) and
+    ranks a sink hub above leaf nodes."""
+    from kgw_spark.operators.pagerank import pagerank, pagerank_py
+
+    edge_list = [
+        ("a", "hub"), ("b", "hub"), ("c", "hub"), ("d", "hub"),
+        ("hub", "a"), ("a", "b"), ("b", "c"), ("c", "d"),
+    ]
+    edges = spark.createDataFrame(
+        [(u, "rel", v) for u, v in edge_list],
+        "source_id string, type string, target_id string",
+    )
+    got = {r.id: r.rank_scaled for r in pagerank(edges, iters=6).collect()}
+    exp = pagerank_py(edge_list, iters=6)
+    assert got == exp
+    assert got["hub"] == max(got.values())
