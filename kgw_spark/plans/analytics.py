@@ -218,12 +218,16 @@ def k_hop(edges: DataFrame, node_id: str, k: int) -> DataFrame:
     loop). Extends A7's 1-hop neighborhood to the k-hop query surface
     users point at the store."""
     spark = edges.sparkSession
+    # no distinct: duplicate adjacency rows only create duplicate
+    # frontier candidates, removed by the per-level distinct anyway —
+    # dropping it saves a full shuffle of the edge set. Checkpointed
+    # once so each level reuses the materialized adjacency.
     sym = (
         edges.select(F.col("source_id").alias("u"), F.col("target_id").alias("v"))
         .union(
             edges.select(F.col("target_id").alias("u"), F.col("source_id").alias("v"))
         )
-        .distinct()
+        .localCheckpoint(eager=True)
     )
     visited = spark.createDataFrame([(node_id, 0)], "id string, hop int")
     frontier = visited
