@@ -2,13 +2,21 @@
 """Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the KG-construction
 pipeline (the north-rule metric: triples/sec end-to-end) and — unless
-SPARK_GRAFT_SKIP_SCALING=1 — the same KG job at local[N/4] vs local[N] for
-the scaling-efficiency evidence (sandbox stand-in for N vs 4N executors).
+SPARK_GRAFT_SKIP_SCALING=1 — the same KG job at two parallelism levels
+for the scaling-efficiency evidence (sandbox stand-in for N vs 4N
+executors), with the N→4N pair CHOSEN FROM A HOST-CAPACITY PROBE (the
+widest pair the shared host can actually parallelize), plus a 10×-corpus
+scale-up run.
 
-Prints ONE JSON line:
-  {"metric": "triples_per_sec_end_to_end", "value": ..., "unit": "triples/sec",
-   "queries": {...per-query seconds...}, "sf": ...,
-   "kg": {...}, "scaling": {...}}
+Prints ONE compact JSON line (bounded ~1.9 KB so the driver's tail
+capture can parse it):
+  {"metric": "triples_per_sec_end_to_end", "value": ..., "unit": ...,
+   "queries": {...per-query seconds...}, "sf": ..., "cpus": ...,
+   "kg": {...}, "scaling": {...summary...}, "scale_up": {...summary...},
+   "detail": "bench_detail.json"}
+and writes the FULL record (trial arrays, per-size medians, cpu probe,
+per-stage shuffle metrics, scale-up detail) to bench_detail.json next
+to this file.
 """
 
 from __future__ import annotations
@@ -28,6 +36,11 @@ os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
+# 10x-corpus scale-up evidence (0 disables)
+SCALEUP_MULT = int(os.environ.get("SPARK_GRAFT_SCALEUP_MULT", "10"))
+DETAIL_PATH = os.environ.get(
+    "SPARK_GRAFT_BENCH_DETAIL", os.path.join(_REPO, "bench_detail.json")
+)
 
 # headline queries: every oracled operator except the full KG pipeline,
 # which is benched separately as the north-rule throughput metric
@@ -39,7 +52,7 @@ def _headline():
     return [q for q in E.queries() if q != "kg_pipeline_triples"]
 
 # KG pipeline corpus size for the throughput metric (big enough that
-# local[8] takes >60s; pure function of these numbers + seed)
+# the small scaling size takes >60s; pure function of these numbers + seed)
 KG_REPOS = int(os.environ.get("SPARK_GRAFT_KG_REPOS", "150"))
 KG_FILES = int(os.environ.get("SPARK_GRAFT_KG_FILES", "200"))
 KG_CALL_LINES = int(os.environ.get("SPARK_GRAFT_KG_CALL_LINES", "600"))
@@ -51,12 +64,23 @@ CORPUS_CACHE = os.environ.get(
 )
 
 
-def _fresh_spark(cores: int):
+def _fresh_spark(cores: int, with_ui: bool = False):
     from kgw_spark.session import get_spark, stop_spark
 
     stop_spark()
+    extra = None
+    if with_ui:
+        # the UI's REST API is how per-stage shuffle metrics are read
+        extra = {
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "4055",
+            "spark.port.maxRetries": "64",
+        }
     return get_spark(
-        cores=cores, app_name=f"kgw_bench_{cores}", shuffle_partitions=cores
+        cores=cores,
+        app_name=f"kgw_bench_{cores}",
+        shuffle_partitions=cores,
+        extra_conf=extra,
     )
 
 
@@ -84,11 +108,14 @@ def _burn(iters: int) -> int:
     return x
 
 
-def cpu_probe(sizes=(8, 32), burn_iters=2_500_000) -> dict:
+def cpu_probe(sizes=(2, 4, 8, 16, 32), burn_iters=2_000_000) -> dict:
     """Host-capacity evidence recorded per run: aggregate pure-Python
-    throughput at N concurrent processes. On a dedicated 32-core box
-    ratio_32_over_8 ≈ 4; the shared sandbox saturates well below that,
-    which is why the scaling pair is 2→8 (see BASELINE.md)."""
+    throughput at N concurrent processes. On a dedicated 32-core box the
+    throughput ratio between 4N and N procs ≈ 4; the shared sandbox
+    saturates well below that. The scaling pair is chosen as the WIDEST
+    (N, 4N) whose probe ratio ≥ 3.2 (80% of ideal) — inside the host's
+    real capacity, so the measurement reflects the engine, not the host
+    ceiling."""
     import multiprocessing as mp
 
     out = {}
@@ -97,29 +124,81 @@ def cpu_probe(sizes=(8, 32), burn_iters=2_500_000) -> dict:
             t0 = time.time()
             pool.map(_burn, [burn_iters] * (n * 2))
             out[str(n)] = round((n * 2) / (time.time() - t0), 3)
-    out["ratio_32_over_8"] = round(out[str(sizes[1])] / out[str(sizes[0])], 3)
     return out
 
 
-def ensure_corpus(spark) -> tuple[str, int]:
-    """Generate the bench corpus once and cache it as parquet
-    (pre-split into 64 files so any core count reads parallel)."""
-    key = f"{KG_REPOS}x{KG_FILES}x{KG_CALL_LINES}"
+def choose_pair(probe: dict) -> tuple[int, int]:
+    """Widest honest N→4N pair the host supports (probe ratio ≥ 3.2)."""
+    for n in (8, 4, 2):
+        big = n * 4
+        if str(n) in probe and str(big) in probe:
+            if probe[str(big)] / probe[str(n)] >= 3.2:
+                return n, big
+    return 2, 8
+
+
+def shuffle_metrics(spark) -> dict | None:
+    """Aggregate per-stage shuffle metrics from the UI REST API (None
+    when the UI is unavailable)."""
+    try:
+        import urllib.request
+
+        base = spark.sparkContext.uiWebUrl
+        app_id = spark.sparkContext.applicationId
+        url = f"{base}/api/v1/applications/{app_id}/stages?status=complete"
+        with urllib.request.urlopen(url, timeout=10) as r:
+            stages = json.loads(r.read())
+        rd = sum(s.get("shuffleReadBytes", 0) for s in stages)
+        wr = sum(s.get("shuffleWriteBytes", 0) for s in stages)
+        top = sorted(
+            stages,
+            key=lambda s: -(s.get("shuffleReadBytes", 0) + s.get("shuffleWriteBytes", 0)),
+        )[:6]
+        return {
+            "n_stages": len(stages),
+            "shuffle_read_mb": round(rd / 1e6, 2),
+            "shuffle_write_mb": round(wr / 1e6, 2),
+            "top_stages": [
+                {
+                    "stage": s.get("stageId"),
+                    "name": (s.get("name") or "")[:70],
+                    "read_mb": round(s.get("shuffleReadBytes", 0) / 1e6, 2),
+                    "write_mb": round(s.get("shuffleWriteBytes", 0) / 1e6, 2),
+                    "input_mb": round(s.get("inputBytes", 0) / 1e6, 2),
+                }
+                for s in top
+            ],
+        }
+    except Exception:
+        return None
+
+
+def ensure_corpus(spark, mult: int = 1) -> tuple[str, int]:
+    """Generate the bench corpus once and cache it as parquet. ``mult``
+    unions that many seed-distinct copies of the 1x corpus (the 10x
+    scale-up input) — generation stays 1x-driver-memory per seed."""
+    key = f"{KG_REPOS}x{KG_FILES}x{KG_CALL_LINES}m{mult}"
     path = f"{CORPUS_CACHE}_{key}"
     marker = f"{path}/_SUCCESS"
-    n_files = KG_REPOS * KG_FILES
+    n_files = KG_REPOS * KG_FILES * mult
     if not os.path.exists(marker):
         from kgw_spark.sources.corpus import corpus_df, generate_corpus
 
-        rows, _ = generate_corpus(
-            n_repos=KG_REPOS,
-            files_per_repo=KG_FILES,
-            seed=42,
-            n_funcs=KG_FUNCS,
-            n_call_lines=KG_CALL_LINES,
-            track_truth=False,
-        )
-        corpus_df(spark, rows).repartition(64).write.mode("overwrite").parquet(path)
+        for s in range(mult):
+            rows, _ = generate_corpus(
+                n_repos=KG_REPOS,
+                files_per_repo=KG_FILES,
+                seed=42 + s,
+                n_funcs=KG_FUNCS,
+                n_call_lines=KG_CALL_LINES,
+                track_truth=False,
+            )
+            if mult > 1:
+                # disjoint repo namespaces per seed so the union is a
+                # genuinely 10x-bigger graph, not 10 copies of one
+                rows = [dict(r, repo=f"{r['repo']}_s{s}") for r in rows]
+            df = corpus_df(spark, rows).repartition(64)
+            df.write.mode("overwrite" if s == 0 else "append").parquet(path)
     return path, n_files
 
 
@@ -159,6 +238,12 @@ def run_kg_pipeline(spark, corpus_path, alias_rows) -> dict:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def _median(xs: list[float]) -> float:
+    xs = sorted(xs)
+    m = len(xs) // 2
+    return xs[m] if len(xs) % 2 else round((xs[m - 1] + xs[m]) / 2, 3)
+
+
 def main():
     from kgw_spark.sources.corpus import build_alias_dict
 
@@ -167,39 +252,45 @@ def main():
         for a, (c, s) in build_alias_dict(12).items()
     ]
 
-    result: dict = {"sf": SF_DIR, "cpus": CPUS}
+    detail: dict = {"sf": SF_DIR, "cpus": CPUS}
 
     spark = _fresh_spark(CPUS)
     corpus_path, n_files = ensure_corpus(spark)
-    result["queries"] = run_queries(spark)
+    detail["queries"] = run_queries(spark)
 
+    scaling_brief = None
+    scaleup_brief = None
     if SKIP_SCALING:
         kg_head = run_kg_pipeline(spark, corpus_path, alias_rows)
         kg_head["cores"] = CPUS
     else:
-        # N vs 4N cores, interleaved best-of-K trials. The sandbox host
-        # saturates at ~10 effective cores under sustained load (shared
-        # infrastructure; raw-CPU probe shows 32 busy procs get ~3.1x
-        # the throughput of 8), so the N→4N pair defaults to (2, 8) —
-        # inside the host's real capacity, where the measurement
-        # reflects the ENGINE's scaling rather than the host ceiling.
+        # Interleaved best-of-K trials at two parallelism levels. The
+        # shared sandbox host saturates under sustained load, so the
+        # (N, 4N) pair is chosen from a fresh raw-CPU probe each run —
+        # the widest pair whose probe throughput ratio is ≥ 3.2/4.0.
         # Interleaving trials and taking the best per size removes the
         # host's minute-scale performance weather. On a real cluster
         # this is the same spark-submit at two executor counts.
+        probe = cpu_probe()
+        n_small, n_big = choose_pair(probe)
+        if "SPARK_GRAFT_SCALING_N" in os.environ:
+            n_small = int(os.environ["SPARK_GRAFT_SCALING_N"])
+            n_big = n_small * 4
         trials = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "3"))
-        n_small = int(os.environ.get("SPARK_GRAFT_SCALING_N", str(max(2, CPUS // 16))))
-        n_big = n_small * 4
         sizes = [n_small, n_big] + ([CPUS] if CPUS not in (n_small, n_big) else [])
         best: dict[int, dict] = {}
         walls: dict[int, list[float]] = {c: [] for c in sizes}
-        for _ in range(trials):
+        shuffles: dict[int, dict | None] = {}
+        for t in range(trials):
             for cores in sizes:
-                s = _fresh_spark(cores)
+                s = _fresh_spark(cores, with_ui=True)
                 r = run_kg_pipeline(s, corpus_path, alias_rows)
                 r["cores"] = cores
                 walls[cores].append(r["wall_sec"])
                 if cores not in best or r["wall_sec"] < best[cores]["wall_sec"]:
                     best[cores] = r
+                if t == 0:
+                    shuffles[cores] = shuffle_metrics(s)
         # paired (same-round, back-to-back = same host weather)
         # efficiencies: each interleaved round contributes one
         # small-vs-big ratio measured minutes apart, the closest this
@@ -208,21 +299,16 @@ def main():
             round((walls[n_small][i] / walls[n_big][i]) / (n_big / n_small), 3)
             for i in range(trials)
         ]
-
-        def median(xs: list[float]) -> float:
-            xs = sorted(xs)
-            m = len(xs) // 2
-            return xs[m] if len(xs) % 2 else round((xs[m - 1] + xs[m]) / 2, 3)
-
         kg_small, kg_big = best[n_small], best[n_big]
         # headline = peak end-to-end throughput observed across sizes
         kg_head = max(best.values(), key=lambda r: r["triples_per_sec"])
         eff = (kg_big["triples_per_sec"] / kg_small["triples_per_sec"]) / (
             n_big / n_small
         )
-        result["scaling"] = {
+        detail["scaling"] = {
             "cores_small": n_small,
             "cores_big": n_big,
+            "pair_selection": "widest N->4N with cpu-probe ratio >= 3.2",
             "trials_per_size": trials,
             "selection": "best-of-trials (interleaved)",
             "triples_per_sec_small": kg_small["triples_per_sec"],
@@ -231,33 +317,95 @@ def main():
             "wall_sec_big": kg_big["wall_sec"],
             "efficiency": round(eff, 3),
             "efficiency_median": round(
-                (median(walls[n_small]) / median(walls[n_big])) / (n_big / n_small), 3
+                (_median(walls[n_small]) / _median(walls[n_big])) / (n_big / n_small), 3
             ),
             "efficiency_paired": paired,
-            "efficiency_paired_median": median(paired),
+            "efficiency_paired_median": _median(paired),
             "best_per_size": {
                 str(c): {
                     "wall_sec": b["wall_sec"],
                     "triples_per_sec": b["triples_per_sec"],
-                    "wall_sec_median": median(walls[c]),
+                    "wall_sec_median": _median(walls[c]),
                     "wall_sec_all": walls[c],
                 }
                 for c, b in sorted(best.items())
             },
-            "host_cpu_probe": cpu_probe(),
+            "shuffle_metrics_per_size": {str(c): m for c, m in shuffles.items()},
+            "host_cpu_probe": probe,
             "host_note": (
-                "sandbox host saturates ~10 effective cores under sustained "
-                "load; pair chosen inside that capacity so the ratio "
-                "measures the engine, not the host ceiling"
+                "shared sandbox host; pair chosen inside its measured "
+                "capacity so the ratio measures the engine, not the host "
+                "ceiling"
             ),
         }
+        scaling_brief = {
+            "pair": [n_small, n_big],
+            "eff": round(eff, 3),
+            "tps_small": kg_small["triples_per_sec"],
+            "tps_big": kg_big["triples_per_sec"],
+        }
+
+        if SCALEUP_MULT > 1:
+            # scale-up evidence: same pipeline, 10x the corpus, full
+            # CPUS — throughput should hold (linear scaling in data)
+            big_path, big_files = ensure_corpus(spark, SCALEUP_MULT)
+            s = _fresh_spark(CPUS, with_ui=True)
+            r10 = run_kg_pipeline(s, big_path, alias_rows)
+            r1 = best.get(CPUS) or kg_head
+            detail["scale_up"] = {
+                "mult": SCALEUP_MULT,
+                "files_1x": n_files,
+                "files_big": big_files,
+                "cores": CPUS,
+                "run_1x": r1,
+                "run_big": r10,
+                "throughput_ratio": round(
+                    r10["triples_per_sec"] / r1["triples_per_sec"], 3
+                ),
+                "shuffle_metrics": shuffle_metrics(s),
+            }
+            scaleup_brief = {
+                "mult": SCALEUP_MULT,
+                "tps_1x": r1["triples_per_sec"],
+                "tps_big": r10["triples_per_sec"],
+                "ratio": detail["scale_up"]["throughput_ratio"],
+            }
 
     kg_head["files"] = n_files
-    result["kg"] = kg_head
-    result["metric"] = "triples_per_sec_end_to_end"
-    result["value"] = kg_head["triples_per_sec"]
-    result["unit"] = "triples/sec"
-    print(json.dumps(result))
+    detail["kg"] = kg_head
+    detail["metric"] = "triples_per_sec_end_to_end"
+    detail["value"] = kg_head["triples_per_sec"]
+    detail["unit"] = "triples/sec"
+
+    with open(DETAIL_PATH, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    # compact headline line for the driver's bounded tail capture
+    compact = {
+        "metric": detail["metric"],
+        "value": detail["value"],
+        "unit": detail["unit"],
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "queries": {k: round(v, 2) for k, v in detail["queries"].items()},
+        "kg": {
+            "wall_sec": kg_head["wall_sec"],
+            "triples": kg_head["triples"],
+            "tps": kg_head["triples_per_sec"],
+            "cores": kg_head["cores"],
+            "files": n_files,
+        },
+        "detail": os.path.basename(DETAIL_PATH),
+    }
+    if scaling_brief:
+        compact["scaling"] = scaling_brief
+    if scaleup_brief:
+        compact["scale_up"] = scaleup_brief
+    line = json.dumps(compact)
+    if len(line) > 1950:  # never overflow the driver's tail capture
+        compact["queries"] = {"see": os.path.basename(DETAIL_PATH)}
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":
