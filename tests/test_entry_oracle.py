@@ -60,11 +60,11 @@ ROWS_ONLY = sorted(set(E.queries()) - set(ORACLE_NAMES))
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_oracle_parity(spark, ddb, name):
     sdf = E.queries()[name](spark, SF).toPandas()
-    # oracle-cache artifact paths are written for the driver's sf0.01;
-    # retarget them to the replay SF (the query callable regenerates
-    # the artifact for this SF before we get here)
+    # the cache-backed oracles read per-SF artifacts; pass the replay
+    # SF's tag (the query callable regenerates the artifact for this
+    # SF before we get here)
     tag = os.path.basename(os.path.normpath(SF))
-    sql = E.oracle_sql()[name].replace("_sf0.01.parquet", f"_{tag}.parquet")
+    sql = E.oracle_sql(sf_tag=tag)[name]
     odf = ddb.execute(sql).df()
     _assert_match(name, sdf, odf)
 
