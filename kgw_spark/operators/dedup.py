@@ -272,14 +272,25 @@ def near_dup_clusters(
     from kgw_spark.operators.canon import connected_components
 
     # CC ids are strings with lexicographic-min representatives:
-    # zero-pad numeric ids so lexicographic min == numeric min
+    # zero-pad numeric ids so lexicographic min == numeric min. Padding
+    # is order-preserving only for non-negative ids ('-…1' sorts below
+    # '-…2'), so negatives fail fast instead of silently electing a
+    # non-minimal representative.
     id_type = dict(docs.dtypes)[id_col]
     integral = id_type in ("tinyint", "smallint", "int", "bigint")
 
     def pad(c):
-        return (
-            F.format_string("%020d", F.col(c)) if integral else F.col(c).cast("string")
-        )
+        if not integral:
+            return F.col(c).cast("string")
+        return F.when(
+            F.col(c) < 0,
+            F.raise_error(
+                F.concat(
+                    F.lit("near_dup_clusters requires non-negative integral ids, got "),
+                    F.col(c).cast("string"),
+                )
+            ),
+        ).otherwise(F.format_string("%020d", F.col(c)))
     pairs = minhash_lsh_pairs(
         docs, n, num_perm, bands, threshold, seed, id_col, text_col
     ).select(pad("a").alias("u"), pad("b").alias("v"))

@@ -13,9 +13,15 @@ This implementation scales all rank mass to 64-bit integers
 - dangling nodes (no out-edges) keep receiving teleport mass but their
   own mass is dropped — the standard simplification, documented.
 
-Initial rank is ``scale`` per node (total mass N·scale; bounded far
-under 2^63 for any realistic N at scale=10^9..10^12). A pure-Python
-replica (``pagerank_py``) computes bit-identical results — the oracle.
+Initial rank is ``scale`` per node. OVERFLOW GUARD: total mass is
+bounded by N·scale and a single node's damped in-mass by
+``damping_num · N · scale``, so the requested scale is auto-shrunk
+(powers of 10) until that bound stays under 2^63 — at the
+reference-CKG node count (14.5M) the default 10^12 shrinks to 10^9,
+keeping ANSI mode from throwing and non-ANSI from silently wrapping.
+Both engines derive the same effective scale from the same node count,
+so results remain bit-identical. A pure-Python replica
+(``pagerank_py``) computes those bit-identical results — the oracle.
 Plan shape per iteration: one join edges⋈ranks on the source id (the
 out-degree join is precomputed once), one groupBy target, one
 left join back to the node set; each iteration ``localCheckpoint``-ed.
@@ -25,6 +31,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def effective_scale(n_nodes: int, scale: int, damping_num: int) -> int:
+    """Largest power-of-10 ≤ ``scale`` with damping_num·N·scale < 2^63
+    (the worst-case single-node in-mass product). Shared by the Spark
+    and pure-Python paths so both shrink identically."""
+    bound = (1 << 63) - 1
+    while scale > 1 and damping_num * max(n_nodes, 1) * scale > bound:
+        scale //= 10
+    if damping_num * max(n_nodes, 1) * scale > bound:
+        raise ValueError(f"graph too large for 64-bit pagerank: {n_nodes} nodes")
+    return scale
 
 
 def _graph_parts(edges: DataFrame):
@@ -47,6 +65,7 @@ def pagerank(
     """Returns ``(id, rank_scaled)`` after ``iters`` exact iterations."""
     nodes, out_deg = _graph_parts(edges)
     nodes = nodes.localCheckpoint(eager=True)
+    scale = effective_scale(nodes.count(), scale, damping_num)
     teleport = ((damping_den - damping_num) * scale) // damping_den
     ranks = nodes.withColumn("rank_scaled", F.lit(scale).cast("long"))
     # per-edge contribution denominator never changes — join once
@@ -96,6 +115,7 @@ def pagerank_py(
         nodes.add(u)
         nodes.add(v)
         out_deg[u] = out_deg.get(u, 0) + 1
+    scale = effective_scale(len(nodes), scale, damping_num)
     teleport = ((damping_den - damping_num) * scale) // damping_den
     ranks = {n: scale for n in nodes}
     for _ in range(iters):

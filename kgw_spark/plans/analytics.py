@@ -212,31 +212,28 @@ setInterval(tick, 40);
 def k_hop(edges: DataFrame, node_id: str, k: int) -> DataFrame:
     """BFS distances ≤ k from ``node_id`` over the undirected edge set:
     ``(id, hop)`` with hop = shortest undirected distance. Iterative
-    frontier expansion — one join per level against the symmetrized
-    edges, frontier broadcast while small (size-gated), every level
-    ``localCheckpoint``-ed to cut lineage (same discipline as the CC
-    loop). Extends A7's 1-hop neighborhood to the k-hop query surface
-    users point at the store."""
+    frontier expansion — per level, two directional joins against the
+    2-column edge projection (frontier⋈source ∪ frontier⋈target), the
+    frontier broadcast while small (size-gated). Only the tiny frontier
+    and visited sets are ``localCheckpoint``-ed; the edge table is
+    never materialized to executor storage (the former symmetrize-and-
+    checkpoint shape pinned 2×|edges| to disk before any pruning — at
+    100× that's the dominant cost of a query that may touch a tiny
+    neighborhood). Extends A7's 1-hop neighborhood to the k-hop query
+    surface users point at the store."""
     spark = edges.sparkSession
-    # no distinct: duplicate adjacency rows only create duplicate
-    # frontier candidates, removed by the per-level distinct anyway —
-    # dropping it saves a full shuffle of the edge set. Checkpointed
-    # once so each level reuses the materialized adjacency.
-    sym = (
-        edges.select(F.col("source_id").alias("u"), F.col("target_id").alias("v"))
-        .union(
-            edges.select(F.col("target_id").alias("u"), F.col("source_id").alias("v"))
-        )
-        .localCheckpoint(eager=True)
-    )
+    e = edges.select(F.col("source_id").alias("u"), F.col("target_id").alias("v"))
     visited = spark.createDataFrame([(node_id, 0)], "id string, hop int")
     frontier = visited
     for hop in range(1, k + 1):
+        fwd = e.join(
+            broadcast_if_small(frontier.select(F.col("id").alias("u"))), "u"
+        ).select(F.col("v").alias("id"))
+        bwd = e.join(
+            broadcast_if_small(frontier.select(F.col("id").alias("v"))), "v"
+        ).select(F.col("u").alias("id"))
         nxt = (
-            sym.join(
-                broadcast_if_small(frontier.select(F.col("id").alias("u"))), "u"
-            )
-            .select(F.col("v").alias("id"))
+            fwd.union(bwd)
             .distinct()
             .join(visited, "id", "left_anti")
             .withColumn("hop", F.lit(hop))

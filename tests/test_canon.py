@@ -3,6 +3,8 @@ large-star/small-star must agree on random graphs."""
 
 import random
 
+import pytest
+
 from kgw_spark.operators.canon import connected_components
 
 
@@ -86,3 +88,32 @@ def test_pagerank_matches_python_replica_exactly(spark):
     exp = pagerank_py(edge_list, iters=6)
     assert got == exp
     assert got["hub"] == max(got.values())
+
+def test_pagerank_scale_autoshrink_bounds_64bit(spark):
+    """The overflow guard: worst-case in-mass product
+    damping_num * N * scale stays under 2^63 — at the reference-CKG
+    node count the default 10^12 shrinks, and the two engines shrink
+    identically (parity at a forced-shrink configuration)."""
+    from kgw_spark.operators.pagerank import (
+        effective_scale,
+        pagerank,
+        pagerank_py,
+    )
+
+    assert effective_scale(100, 10**12, 85) == 10**12
+    s = effective_scale(14_543_042, 10**12, 85)  # reference CKG nodes
+    assert s < 10**12 and 85 * 14_543_042 * s < 2**63
+    with pytest.raises(ValueError):
+        effective_scale(2 * 10**17, 10**12, 85)
+
+    edge_list = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "b")]
+    edges = spark.createDataFrame(
+        [(u, "rel", v) for u, v in edge_list],
+        "source_id string, type string, target_id string",
+    )
+    # scale chosen so the guard must shrink it for this node count
+    big = 10**18
+    got = {r.id: r.rank_scaled for r in pagerank(edges, iters=4, scale=big).collect()}
+    exp = pagerank_py(edge_list, iters=4, scale=big)
+    assert got == exp
+    assert max(got.values()) * 85 * 3 < 2**63

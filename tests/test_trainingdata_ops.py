@@ -383,3 +383,12 @@ def test_multimodal_audio_features(spark):
     # (encode scales by 32767, decode divides by 32768 → ~2 LSB bound)
     x, r2 = multimodal.decode_wav(multimodal.encode_wav(sine, rate))
     assert r2 == rate and np.max(np.abs(x - sine)) < 2.0 / 32768
+
+
+def test_near_dup_clusters_rejects_negative_ids(spark, docs):
+    """Zero-padding is only order-preserving for non-negative ids; the
+    operator must fail fast on negatives instead of silently electing a
+    non-minimal representative."""
+    neg = docs.withColumn("doc_id", F.col("doc_id") - F.lit(10_000_000))
+    with pytest.raises(Exception, match="non-negative"):
+        dedup.near_dup_clusters(neg, threshold=0.5).collect()
