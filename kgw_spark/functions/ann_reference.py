@@ -114,21 +114,43 @@ def ref_ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kmeans_iters: int = 0,
 ):
     """Expected output of similarity.ivf_topk — centroid assignment via
-    lexicographic-min (−dot, cell) as F.least does, probe the n_probe
-    closest cells, exact rerank inside them."""
+    lexicographic-min (−dot, cell) as F.least does, ``kmeans_iters``
+    Lloyd refinement rounds replicating the integer-quantized
+    order-independent update (floor(x·2^20) long sums, mean = sum //
+    count, back at 2^-20), probe the n_probe closest cells, exact
+    rerank inside them."""
+    from kgw_spark.operators.similarity import _QUANT
+
     rows = _load_vectors(parquet_path, id_col, vec_col)
     query_vec = next(v for vid, v in rows if vid == query_id)
     by_id = sorted(rows, key=lambda t: t[0])
     centroids = [(i, v) for i, (_vid, v) in enumerate(by_id[:n_cells])]
 
-    def cell_of(v):
-        return min(((-_fold_dot(v, c)), cid) for cid, c in centroids)[1]
+    def cell_of(v, cents):
+        return min(((-_fold_dot(v, c)), cid) for cid, c in cents)[1]
+
+    for _ in range(kmeans_iters):
+        sums: dict[int, list[int]] = {}
+        counts: dict[int, int] = {}
+        for _vid, v in rows:
+            cid = cell_of(v, centroids)
+            q = [math.floor(x * float(_QUANT)) for x in v]
+            if cid in sums:
+                sums[cid] = [a + b for a, b in zip(sums[cid], q)]
+                counts[cid] += 1
+            else:
+                sums[cid], counts[cid] = q, 1
+        updated = {
+            cid: [(s // counts[cid]) / _QUANT for s in sums[cid]] for cid in sums
+        }
+        centroids = [(cid, updated.get(cid, c)) for cid, c in centroids]
 
     scored = sorted(
         centroids, key=lambda c: -sum(a * b for a, b in zip(query_vec, c[1]))
     )
     probe = {cid for cid, _ in scored[:n_probe]}
-    candidates = [(vid, v) for vid, v in rows if cell_of(v) in probe]
+    candidates = [(vid, v) for vid, v in rows if cell_of(v, centroids) in probe]
     return _cosine_topk(candidates, query_vec, k)

@@ -4,13 +4,15 @@ The Spark-side plumbing (schemas, Arrow batch shapes, partitioning) is
 real and tested. Codec scope in this environment: no PIL/ffmpeg exist
 in the container, so the fully-implemented decode/resize/frame-sample
 paths operate on binary PPM (P6) payloads — a real, public image format
-parseable with numpy alone — and on videos encoded as concatenated P6
-frames. Compressed formats (JPEG/PNG/H.264) would swap the per-batch
-decode call for PIL/pyav with the identical mapInPandas shape. The
-embedding-style ``extract_features`` keeps a deterministic digest-based
-feature as its decoder placeholder. Batches flow through
-``mapInPandas`` so decode cost amortizes per Arrow batch, and wide
-binary payloads never pass through a Python row object.
+parseable with numpy alone — on RIFF/PCM WAV audio, and on videos
+encoded as concatenated P6 frames. Compressed formats (JPEG/PNG/H.264)
+would swap the per-batch decode call for PIL/pyav with the identical
+mapInPandas shape. ``extract_features`` derives its 16-dim vector from
+the decoded pixels/samples (channel statistics + luminance histogram
+for images, level statistics + FFT band energies for audio, per-frame
+means for video) — no digest placeholders anywhere. Batches flow
+through ``mapInPandas`` so decode cost amortizes per Arrow batch, and
+wide binary payloads never pass through a Python row object.
 """
 
 from __future__ import annotations
@@ -44,26 +46,78 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 
-def _decode_stub(payload: bytes, kind: str, dim: int) -> list[float]:
-    """Deterministic fake decode: derive a feature vector from the
-    payload digest. Replace with a real decoder (PIL / torchaudio /
-    pyav) in production — the call site, batch shape, and schema stay
-    identical."""
-    digest = hashlib.sha256(payload).digest()
-    raw = (digest * ((dim * 2) // len(digest) + 1))[: dim * 2]
-    return [
-        int.from_bytes(raw[2 * i : 2 * i + 2], "big") / 65535.0
-        for i in range(dim)
-    ]
+FEATURE_DIM = 16
+_N_AUDIO_BANDS = 12
+_N_LUMA_BINS = 8
 
 
-def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
-    """media table → per-item feature vectors, batched per partition."""
+def _image_feature(img: "np.ndarray") -> list[float]:
+    """16-dim image descriptor, all components in [0, 1]:
+    [mean_r, mean_g, mean_b, std_r, std_g, std_b,
+     8-bin luminance histogram (fractions), w/(w+h), h/(w+h)]."""
+    h, w, _ = img.shape
+    x = img.astype(np.float64)
+    means = (x.mean(axis=(0, 1)) / 255.0).tolist()
+    stds = (x.std(axis=(0, 1)) / 255.0).tolist()
+    luma = x.mean(axis=2)  # per-pixel channel average, [0, 255]
+    hist, _edges = np.histogram(luma, bins=_N_LUMA_BINS, range=(0.0, 256.0))
+    hist = (hist / max(luma.size, 1)).tolist()
+    return means + stds + hist + [w / (w + h), h / (w + h)]
+
+
+def _audio_feature(payload: bytes) -> list[float]:
+    """16-dim audio descriptor:
+    [rms, peak, zero_crossing_rate, min(duration_sec/10, 1),
+     12 spectral band energies (fractions of total power across 12
+     equal-width bands of [0, nyquist], via numpy rfft)]."""
+    x, rate = decode_wav(payload)
+    n = len(x)
+    if n == 0:
+        return [0.0] * FEATURE_DIM
+    rms = float(np.sqrt(np.mean(x * x)))
+    peak = float(np.max(np.abs(x)))
+    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if n > 1 else 0.0
+    dur = min(n / rate / 10.0, 1.0) if rate else 0.0
+    power = np.abs(np.fft.rfft(x)) ** 2
+    freqs = np.fft.rfftfreq(n, d=1.0 / rate) if rate else np.zeros(len(power))
+    nyquist = rate / 2.0 if rate else 1.0
+    band = np.minimum(
+        (freqs / (nyquist / _N_AUDIO_BANDS)).astype(int), _N_AUDIO_BANDS - 1
+    )
+    total = float(power.sum())
+    if total > 0:
+        bands = [float(power[band == b].sum() / total) for b in range(_N_AUDIO_BANDS)]
+    else:
+        bands = [0.0] * _N_AUDIO_BANDS
+    return [rms, peak, zcr, dur] + bands
+
+
+def _feature_of(payload: bytes, kind: str) -> list[float]:
+    if kind == "image":
+        return _image_feature(decode_ppm(payload))
+    if kind == "audio":
+        return _audio_feature(payload)
+    if kind == "video":
+        frames = split_ppm_stream(payload)
+        if not frames:
+            return [0.0] * FEATURE_DIM
+        per_frame = np.array([_image_feature(decode_ppm(f)) for f in frames])
+        return per_frame.mean(axis=0).tolist()
+    raise ValueError(f"unknown media kind {kind!r}")
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """media table → per-item 16-dim feature vectors, decoded and
+    reduced with the pure-numpy codecs below, batched per partition
+    (compressed formats would swap decode_ppm/decode_wav for PIL /
+    pyav calls — batch shape, schema, and feature layout unchanged).
+    Undecodable payloads fail the job loudly rather than emitting
+    placeholder vectors."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _decode_stub(bytes(p), k, dim)
+                _feature_of(bytes(p), k)
                 for p, k in zip(pdf["payload"], pdf["kind"])
             ]
             yield pd.DataFrame(

@@ -238,11 +238,49 @@ def cosine_near_pairs(
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN: coarse quantization by nearest centroid,
 # probe the top-p closest centroid cells, exact rerank inside them.
-# Deterministic: init centroids are the k lowest-id vectors, optionally
-# refined by ``kmeans_iters`` distributed Lloyd iterations (assignment =
-# one narrow pass, update = groupBy-avg — both shuffle only k small
-# vectors of partial sums, never the data).
+# Deterministic END TO END, including Lloyd refinement: init centroids
+# are the k lowest-id vectors; each refinement iteration assigns cells
+# (one narrow pass) and updates centroids from INTEGER-QUANTIZED
+# coordinate sums — floor(x * 2^20) summed as 64-bit ints is exact and
+# shuffle-order independent (a plain fp groupBy-avg sums in shuffle
+# order and can't be value-oracled), then mean = sum // count back at
+# 2^-20 resolution (≈1e-6, far below any clustering-relevant signal).
+# Both stages shuffle only k small vectors of partial sums, never the
+# data.
 # ---------------------------------------------------------------------------
+_QUANT = 1 << 20
+
+
+def _lloyd_refine(
+    emb: DataFrame, centroids, vec_col: str, dim: int, kmeans_iters: int
+):
+    """``kmeans_iters`` order-independent Lloyd rounds; empty cells keep
+    their previous centroid. Replicated bit-for-bit by
+    functions/ann_reference.ref_ivf_topk."""
+    for _ in range(kmeans_iters):
+        assigned = _assign_cells(emb, centroids, vec_col)
+        v = F.col(vec_col).cast("array<double>")
+        sums = (
+            assigned.select(
+                "_cell",
+                *[
+                    F.floor(v[i] * F.lit(float(_QUANT))).cast("long").alias(f"q{i}")
+                    for i in range(dim)
+                ],
+            )
+            .groupBy("_cell")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[F.sum(f"q{i}").alias(f"q{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        updated = {
+            r["_cell"]: [(r[f"q{i}"] // r["_n"]) / _QUANT for i in range(dim)]
+            for r in sums
+        }
+        centroids = [(cid, updated.get(cid, c)) for cid, c in centroids]
+    return centroids
 def _assign_cells(emb: DataFrame, centroids, vec_col: str) -> DataFrame:
     v = F.col(vec_col).cast("array<double>")
     best = None
@@ -262,10 +300,11 @@ def ivf_build(
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """Assign every vector to its nearest centroid cell. Returns the
     cell-assigned DataFrame and the centroid list (small, driver-side —
-    it IS the index metadata). ``kmeans_iters=0`` keeps the
-    deterministic lowest-id init (the bit-reproducible configuration
-    the oracle certifies); positive values run that many Lloyd
-    refinement rounds for better cell balance at scale."""
+    it IS the index metadata). Init is the deterministic lowest-id
+    vectors; ``kmeans_iters`` order-independent Lloyd rounds (see
+    _lloyd_refine) give balanced cells at scale while staying
+    bit-reproducible — the certified driver-oracle configuration runs
+    kmeans_iters=2."""
     centroids = [
         (i, [float(x) for x in r[vec_col]])
         for i, r in enumerate(
@@ -273,23 +312,8 @@ def ivf_build(
         )
     ]
     dim = len(centroids[0][1]) if centroids else 0
-    for _ in range(kmeans_iters):
-        assigned = _assign_cells(emb, centroids, vec_col)
-        means = (
-            assigned.select(
-                "_cell",
-                *[
-                    F.col(vec_col).cast("array<double>")[i].alias(f"x{i}")
-                    for i in range(dim)
-                ],
-            )
-            .groupBy("_cell")
-            .agg(*[F.avg(f"x{i}").alias(f"x{i}") for i in range(dim)])
-            .collect()
-        )
-        updated = {r["_cell"]: [float(r[f"x{i}"]) for i in range(dim)] for r in means}
-        # empty cells keep their previous centroid
-        centroids = [(cid, updated.get(cid, c)) for cid, c in centroids]
+    if kmeans_iters and centroids:
+        centroids = _lloyd_refine(emb, centroids, vec_col, dim, kmeans_iters)
     assigned = _assign_cells(emb, centroids, vec_col)
     return assigned, centroids
 

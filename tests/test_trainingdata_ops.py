@@ -180,21 +180,70 @@ def test_quality_score_bounds(docs):
     assert all(0.0 <= r.q <= 1.0 for r in rows)
 
 
-def test_multimodal_features(spark):
-    rows = [
-        (1, "image", "image/png", b"\x89PNG fake", '{"w":2,"h":2}'),
-        (2, "audio", "audio/wav", b"RIFF fake", None),
-    ]
-    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
-    feats = multimodal.extract_features(media, dim=8).collect()
-    assert len(feats) == 2
-    for r in feats:
-        assert len(r.feature) == 8
-        assert all(0.0 <= x <= 1.0 for x in r.feature)
-        assert r.n_bytes > 0 and len(r.payload_sha256) == 64
-    # determinism
-    again = multimodal.extract_features(media, dim=8).collect()
-    assert sorted(map(str, feats)) == sorted(map(str, again))
+def test_multimodal_features_analytic_oracles(spark):
+    """extract_features computes real codec-derived features with
+    closed-form expected values: a pure-color image has exact channel
+    means, zero stds, and a one-hot luminance histogram; a full-scale
+    sine has RMS = peak/sqrt(2), ZCR = 2f/rate, and all spectral power
+    in the band containing f; a two-frame video averages its frames'
+    image features."""
+    import numpy as np
+
+    # pure red 8x6 image: means (1,0,0), stds 0, luma=85 -> bin 2 of 8
+    red = np.zeros((6, 8, 3), dtype=np.uint8)
+    red[:, :, 0] = 255
+    img_payload = multimodal.encode_ppm(red)
+
+    # 440 Hz sine, amplitude 0.5, 1 sec @ 8000 Hz
+    rate, f, amp = 8000, 440.0, 0.5
+    t = np.arange(rate) / rate
+    wav_payload = multimodal.encode_wav(amp * np.sin(2 * np.pi * f * t), rate)
+
+    # video: one red + one blue frame
+    blue = np.zeros((6, 8, 3), dtype=np.uint8)
+    blue[:, :, 2] = 255
+    vid_payload = multimodal.encode_ppm(red) + multimodal.encode_ppm(blue)
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", "image/x-portable-pixmap", img_payload, None),
+            (2, "audio", "audio/wav", wav_payload, None),
+            (3, "video", "video/x-ppm-stream", vid_payload, None),
+        ],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    feats = {r.media_id: list(r.feature) for r in multimodal.extract_features(media).collect()}
+    assert all(len(v) == multimodal.FEATURE_DIM for v in feats.values())
+
+    fi = feats[1]
+    assert fi[0] == pytest.approx(1.0) and fi[1] == fi[2] == 0.0  # means
+    assert fi[3] == fi[4] == fi[5] == 0.0  # stds
+    hist = fi[6:14]
+    assert hist[2] == pytest.approx(1.0) and sum(hist) == pytest.approx(1.0)
+    assert fi[14] == pytest.approx(8 / 14) and fi[15] == pytest.approx(6 / 14)
+
+    fa = feats[2]
+    assert fa[0] == pytest.approx(amp / math.sqrt(2), rel=1e-3)  # rms
+    assert fa[1] == pytest.approx(amp, rel=1e-3)  # peak
+    assert fa[2] == pytest.approx(2 * f / rate, rel=2e-2)  # zcr
+    assert fa[3] == pytest.approx(0.1)  # 1 sec / 10
+    bands = fa[4:16]
+    # f=440 -> band int(440 / (4000/12)) = 1 holds ~all power
+    assert bands[1] > 0.99 and sum(bands) == pytest.approx(1.0)
+
+    fv = feats[3]
+    exp = (np.array(multimodal._image_feature(red)) + np.array(multimodal._image_feature(blue))) / 2
+    assert fv == pytest.approx(exp.tolist(), rel=1e-6)
+
+    # determinism + undecodable payloads fail loudly
+    again = {r.media_id: list(r.feature) for r in multimodal.extract_features(media).collect()}
+    assert feats == again
+    bad = spark.createDataFrame(
+        [(9, "image", "image/png", b"\x89PNG not ppm", None)],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="P6|PythonException"):
+        multimodal.extract_features(bad).collect()
 
 
 def _ppm(w, h, fn):
@@ -392,3 +441,32 @@ def test_near_dup_clusters_rejects_negative_ids(spark, docs):
     neg = docs.withColumn("doc_id", F.col("doc_id") - F.lit(10_000_000))
     with pytest.raises(Exception, match="non-negative"):
         dedup.near_dup_clusters(neg, threshold=0.5).collect()
+
+
+def test_ivf_lloyd_planted_cluster_balance(spark):
+    """Planted-cluster fixture: 4 orthogonal clusters x 50 vectors with
+    ids ordered so the lowest-id init takes all 4 centroids from ONE
+    cluster. The integer-quantized Lloyd refinement must (a) strictly
+    improve cell balance over the trivial init and (b) stay
+    deterministic across runs (order-independent update)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    centers = np.eye(4, 8) * 10.0
+    rows = []
+    vid = 0
+    for ci in range(4):
+        for _ in range(50):
+            v = centers[ci] + rng.normal(0, 0.05, 8)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb2 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def sizes(iters):
+        assigned, _ = similarity.ivf_build(emb2, n_cells=4, kmeans_iters=iters)
+        return sorted(r["count"] for r in assigned.groupBy("_cell").count().collect())
+
+    base, refined = sizes(0), sizes(2)
+    assert max(refined) < max(base)  # better balance
+    assert len(refined) > len(base)  # more non-empty cells
+    assert refined == sizes(2)  # bit-reproducible refinement
