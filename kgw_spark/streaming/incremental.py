@@ -120,7 +120,7 @@ def windowed_event_counts(
 # small tuple per user; event batches arrive Arrow-vectorized.
 # ---------------------------------------------------------------------------
 SESSION_SCHEMA = "user_id long, session_start string, session_end string, n_events int"
-_SESSION_STATE_SCHEMA = "start long, last long, n int"
+_SESSION_STATE_SCHEMA = "pending array<bigint>"
 
 
 def sessionize_stream(
@@ -130,54 +130,78 @@ def sessionize_stream(
 ) -> DataFrame:
     """Per-user sessions from a streaming (user_id, ts, ...) source:
     a session closes when no event arrives within ``gap_sec``; closed
-    sessions are emitted with start/end/count. Event-time driven: the
-    watermark both bounds state and flushes sessions whose gap has
-    provably expired (timeout = event-time watermark, so results are
-    a pure function of the data, replayable in batch for the test's
-    stream==batch oracle)."""
+    sessions are emitted with start/end/count.
+
+    OUT-OF-ORDER SAFE: event timestamps are buffered in state until the
+    watermark proves no admissible event can still change a session —
+    a session (start..end) is emitted only once ``end + gap <
+    watermark``, because any not-yet-dropped event m satisfies m ≥
+    watermark > end + gap and therefore belongs to a LATER session. A
+    late event inside the watermark delay can thus extend, backfill, or
+    merge still-buffered sessions and the result stays a pure function
+    of the data (== sessionize_batch_oracle), regardless of arrival
+    order across micro-batches. State per user is only the timestamps
+    of not-yet-emittable sessions — bounded by the watermark horizon.
+    The event-time timeout flushes everything once the watermark passes
+    the last pending event's gap."""
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_ms = gap_sec * 1000
 
     def assemble(key, pdfs, state):
         import pandas as pd
 
         user_id = key[0]
-        # epoch milliseconds (state timeouts are ms-based)
-        event_ms = []
+        new_ms = []
         for pdf in pdfs:
-            event_ms.extend(
+            new_ms.extend(
                 int(t.value // 1_000_000) for t in pd.to_datetime(pdf["ts"])
             )
         closed = []
 
-        def close(start, last, n):
+        def close(run):
             closed.append(
                 (
                     user_id,
-                    pd.Timestamp(start, unit="ms").strftime("%Y-%m-%d %H:%M:%S"),
-                    pd.Timestamp(last, unit="ms").strftime("%Y-%m-%d %H:%M:%S"),
-                    n,
+                    pd.Timestamp(run[0], unit="ms").strftime("%Y-%m-%d %H:%M:%S"),
+                    pd.Timestamp(run[-1], unit="ms").strftime("%Y-%m-%d %H:%M:%S"),
+                    len(run),
                 )
             )
 
+        def runs_of(ms):
+            runs = [[ms[0]]]
+            for m in ms[1:]:
+                if m - runs[-1][-1] > gap_ms:
+                    runs.append([m])
+                else:
+                    runs[-1].append(m)
+            return runs
+
         if state.hasTimedOut:
-            start, last, n = state.get
-            close(start, last, n)
+            pending = sorted(state.get[0]) if state.exists else []
+            if pending:
+                for run in runs_of(pending):
+                    close(run)
             state.remove()
         else:
-            event_ms.sort()
-            if state.exists:
-                start, last, n = state.get
+            pending = sorted(
+                (list(state.get[0]) if state.exists else []) + new_ms
+            )
+            wm = state.getCurrentWatermarkMs()
+            keep: list[int] = []
+            for run in runs_of(pending):
+                if run[-1] + gap_ms < wm:
+                    close(run)
+                else:
+                    keep.extend(run)
+            if keep:
+                state.update((keep,))
+                # flush when the watermark proves the last session closed
+                state.setTimeoutTimestamp(max(keep[-1] + gap_ms, wm + 1))
             else:
-                start, last, n = event_ms[0], event_ms[0] - 1, 0
-            for m in event_ms:
-                if m - last > gap_sec * 1000:
-                    if n:
-                        close(start, last, n)
-                    start, n = m, 0
-                last, n = m, n + 1
-            state.update((start, last, n))
-            state.setTimeoutTimestamp(last + gap_sec * 1000)
+                state.remove()
         yield pd.DataFrame(
             closed, columns=["user_id", "session_start", "session_end", "n_events"]
         )

@@ -209,3 +209,43 @@ def test_project_uses_pluggable_fetcher(tmp_path):
     assert p.dirpath.endswith("mon_v2024-04-09")
     with pytest.raises(ValueError):
         P(version="1999-01-01", workdir=str(tmp_path))
+
+
+def test_project_latest_via_recorded_figshare_end_to_end(spark, tmp_path):
+    """E10 wired through the api surface: a Project whose
+    metadata_fetcher is a FigshareMetadataFetcher over recorded HTTP
+    fixtures resolves version='latest' and runs an output end-to-end
+    (reference flow: MetadataFetcher.get_versions -> base.py:44-49
+    latest-resolution -> Luigi targets)."""
+    import json as _json
+    import os
+
+    from kgw_spark.api import Project, run
+
+    rec = Recorder(
+        {"https://api.figshare.com/v2/articles/22828196/versions": FIGSHARE_VERSIONS}
+    )
+
+    class FigshareProject(Project):
+        label = "fig"
+        metadata_fetcher = FigshareMetadataFetcher(22828196, transport=rec)
+
+        def load(self, spark):
+            nodes = spark.createDataFrame(
+                [("a:1", "a", None), ("b:2", "b", None)],
+                "id string, type string, properties string",
+            )
+            edges = spark.createDataFrame(
+                [("a:1", "b:2", "rel", None)],
+                "source_id string, target_id string, type string, properties string",
+            )
+            return nodes, edges
+
+    p = FigshareProject(version="latest", workdir=str(tmp_path))
+    assert p.version == "3"  # latest from the recorded version list
+    assert p.dirpath.endswith("fig_v3")
+    assert rec.calls  # resolution really went through the fetcher
+    p.to_statistics()
+    assert run(spark, [p]) is True
+    stats = _json.load(open(os.path.join(p.results_dir, "statistics.json")))
+    assert stats["num_nodes"] == 2 and stats["num_edges"] == 1

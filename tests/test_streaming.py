@@ -125,3 +125,59 @@ def test_sessionize_stream_matches_batch_oracle(spark, tmp_path):
     assert got == sessionize_batch_oracle(pdf, gap_sec=1800)
     # two sessions per user, correct event counts
     assert len(got) == 6 and {g[3] for g in got} == {3, 2}
+
+
+def test_sessionize_stream_out_of_order_across_batches(spark, tmp_path):
+    """A late event (inside the watermark delay) arriving in a LATER
+    micro-batch must backfill buffered sessions: batch 1 carries events
+    at t0 and t0+35min (two sessions under a 30-min gap if finalized
+    eagerly), batch 2 backfills t0+20min, fusing them into ONE 3-event
+    session. The emitted result must equal the batch oracle over the
+    full data — sessions are a pure function of the data, not of
+    arrival order."""
+    import pandas as pd
+
+    from kgw_spark.streaming.incremental import (
+        sessionize_batch_oracle,
+        sessionize_stream,
+    )
+
+    base = pd.Timestamp("2025-01-01 12:00:00")
+    batch1 = pd.DataFrame(
+        [(1, base), (1, base + pd.Timedelta(minutes=35))],
+        columns=["user_id", "ts"],
+    )
+    late = pd.DataFrame(
+        [(1, base + pd.Timedelta(minutes=20))], columns=["user_id", "ts"]
+    )
+    drop, out, ck = (str(tmp_path / d) for d in ("drop", "out", "ck"))
+
+    def run_available():
+        src = spark.readStream.schema("user_id long, ts timestamp").parquet(drop)
+        q = (
+            sessionize_stream(src, gap_sec=1800, watermark_delay="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for df in (batch1, late):
+        spark.createDataFrame(df).coalesce(1).write.mode("append").parquet(drop)
+        run_available()
+    sentinel = spark.createDataFrame(
+        pd.DataFrame([(99, base + pd.Timedelta(days=30))], columns=["user_id", "ts"])
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(drop)
+    run_available()
+
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(out).filter("user_id < 99").collect()
+    )
+    full = pd.concat([batch1, late], ignore_index=True)
+    assert got == sessionize_batch_oracle(full, gap_sec=1800)
+    assert len(got) == 1 and got[0][3] == 3  # one fused session
