@@ -347,9 +347,11 @@ def main():
 
         if SCALEUP_MULT > 1:
             # scale-up evidence: same pipeline, 10x the corpus, full
-            # CPUS — throughput should hold (linear scaling in data)
-            big_path, big_files = ensure_corpus(spark, SCALEUP_MULT)
+            # CPUS — throughput should hold (linear scaling in data).
+            # fresh session: the original `spark` was stopped by the
+            # scaling trials' _fresh_spark calls
             s = _fresh_spark(CPUS, with_ui=True)
+            big_path, big_files = ensure_corpus(s, SCALEUP_MULT)
             r10 = run_kg_pipeline(s, big_path, alias_rows)
             r1 = best.get(CPUS) or kg_head
             detail["scale_up"] = {
