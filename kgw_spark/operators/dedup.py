@@ -140,6 +140,43 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-decontamination primitive: for every eval document, the
+    fraction of its word n-grams that appear ANYWHERE in the training
+    corpus — ``(doc_id, n_grams, n_hit, containment)``. High containment
+    means the eval doc leaks into training data.
+
+    Scale shape: the train side is reduced to DISTINCT shingles before
+    the join (set membership, not pair counting), so the shuffle moves
+    each unique train n-gram once; eval is tiny relative to train by
+    construction. At 100 TB, hash the shingle to 8 bytes first
+    (``F.xxhash64``) on both sides — elided here so the result stays
+    exactly SQL-oracle-able over raw shingles."""
+    tr = shingles(train, n, id_col, text_col).select("shingle").distinct()
+    ev = shingles(eval_df, n, id_col, text_col)
+    sizes = ev.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = ev.join(tr, "shingle").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_hit")
+    )
+    return (
+        sizes.join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_grams",
+            F.coalesce(F.col("_hit"), F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("_hit"), F.lit(0)) / F.col("n_grams"), 6
+            ).alias("containment"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------

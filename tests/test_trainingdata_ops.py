@@ -470,3 +470,27 @@ def test_ivf_lloyd_planted_cluster_balance(spark):
     assert max(refined) < max(base)  # better balance
     assert len(refined) > len(base)  # more non-empty cells
     assert refined == sizes(2)  # bit-reproducible refinement
+
+
+def test_ngram_containment_planted_leak(spark):
+    """Hand-checkable decontamination: an eval doc sharing a known
+    block with train scores exactly shared/total distinct 5-grams; a
+    disjoint-vocabulary eval doc scores 0."""
+    train = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "p q r s t u v w")],
+        "doc_id int, text string",
+    )
+    ev = spark.createDataFrame(
+        [
+            # 6 distinct 5-grams; 'a b c d e'..'d e f g h' (4) leak
+            (10, "a b c d e f g h x y"),
+            (11, "m1 m2 m3 m4 m5 m6"),  # 2 grams, zero overlap
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.n_hit, r.containment)
+        for r in dedup.ngram_containment(train, ev, n=5).collect()
+    }
+    assert got[10] == (6, 4, round(4 / 6, 6))
+    assert got[11] == (2, 0, 0.0)
