@@ -232,3 +232,31 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_hash_sample_is_scan_plus_filter(spark):
+    """Deterministic sampling must stay a narrow scan + filter — zero
+    shuffle, so at 100 TB it fuses into whatever pass reads the corpus."""
+    from kgw_spark.operators.sampling import hash_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(hash_sample(docs, "doc_id", 30))
+    assert "Exchange" not in p
+    assert "codegen id" in p  # LCG arithmetic stays in whole-stage codegen
+
+
+def test_contamination_no_cartesian_distinct_before_join(spark):
+    """ngram_containment joins eval shingles against DISTINCT train
+    shingles (set membership): no cartesian/nested-loop anywhere, and
+    the train side is aggregated BEFORE the join so a duplicated
+    boilerplate n-gram never multiplies join rows."""
+    from kgw_spark.operators.dedup import ngram_containment
+    from kgw_spark.operators.sampling import hash_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ev = hash_sample(docs, "doc_id", 10)
+    tr = docs.join(ev.select("doc_id"), "doc_id", "left_anti")
+    p = plan(ngram_containment(tr, ev, n=5))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # the distinct (partial+final HashAggregate) sits below the hit join
+    assert p.count("HashAggregate") >= 4
