@@ -84,18 +84,19 @@ def _fresh_spark(cores: int, with_ui: bool = False):
     )
 
 
-def run_queries(spark) -> dict[str, float]:
+def run_queries(spark, sf_dir: str = None) -> dict[str, float]:
     import __spark_entry__ as E
 
+    sf_dir = sf_dir or SF_DIR
     qs = E.queries()
     # warm-up: session/parquet-footer/codegen startup lands on a
     # throwaway run so the first timed query is attributable (r1 showed
     # 7s of warm-up attributed to kg_statistics)
-    qs["kg_statistics"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    qs["kg_statistics"](spark, sf_dir).write.format("noop").mode("overwrite").save()
     times = {}
     for name in _headline():
         t0 = time.time()
-        df = qs[name](spark, SF_DIR)
+        df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
     return times
@@ -258,6 +259,21 @@ def main():
     corpus_path, n_files = ensure_corpus(spark)
     detail["queries"] = run_queries(spark)
 
+    # per-query scale evidence: the same suite at sf0.01 (10x less
+    # data); ratio >> 10 on a 10x data step means super-linear cost.
+    # With per-query fixed overheads the ratio is normally ~1-4.
+    small_sf = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")
+    if os.path.isdir(small_sf) and small_sf != SF_DIR:
+        detail["queries_small_sf"] = run_queries(spark, small_sf)
+        detail["per_query_scale_ratio"] = {
+            k: round(detail["queries"][k] / max(detail["queries_small_sf"][k], 1e-3), 2)
+            for k in detail["queries"]
+            if k in detail["queries_small_sf"]
+        }
+        detail["super_linear_queries"] = sorted(
+            k for k, r in detail["per_query_scale_ratio"].items() if r > 8.0
+        )
+
     scaling_brief = None
     scaleup_brief = None
     if SKIP_SCALING:
@@ -403,6 +419,10 @@ def main():
         compact["scaling"] = scaling_brief
     if scaleup_brief:
         compact["scale_up"] = scaleup_brief
+    if "super_linear_queries" in detail:
+        # non-empty only if a query's wall grew faster than the 10x
+        # data step (threshold 8x) between sf0.01 and sf0.1
+        compact["super_linear_queries"] = detail["super_linear_queries"]
     line = json.dumps(compact)
     if len(line) > 1950:  # never overflow the driver's tail capture
         compact["queries"] = {"see": os.path.basename(DETAIL_PATH)}
