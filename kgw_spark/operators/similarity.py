@@ -135,10 +135,12 @@ def cosine_near_pairs(
     Default (scale) path — multiprobe OR-amplified LSH:
 
     - ``rounds`` independent hyperplane sets (seeds ``seed..seed+rounds-1``);
-    - each vector's bucket signature per round is exploded into every
-      signature within ``probe_radius`` bit flips, so two vectors become
-      join candidates in a round whenever their signatures differ by at
-      most ``2 * probe_radius`` bits;
+    - per round, one join side explodes each signature into its full
+      Hamming ball of radius ``2·probe_radius`` while the other side
+      keeps a single exact signature row (one-sided probing: same
+      candidate set as two-sided radius-``probe_radius`` explosion —
+      candidates are exactly the pairs differing by ≤ ``2·probe_radius``
+      bits — with half the join input);
     - the bucket self-join carries only ``(id, round, bucket)`` — the
       vectors are joined back *after* candidate dedup, so the 100-TB
       shuffle moves 16-byte keys, not embeddings;
@@ -193,17 +195,44 @@ def cosine_near_pairs(
             F.col(id_col).alias("_id"),
             sigs_of(F.col(vec_col).cast("array<double>")).alias("_sigs"),
         )
+        # One-sided probing: the LEFT side explodes each round signature
+        # into its full Hamming ball of radius 2·probe_radius, the RIGHT
+        # side keeps one exact (round, signature) row per vector. A pair
+        # is a candidate in a round iff their signatures differ by at
+        # most 2·probe_radius bits — the identical candidate set as
+        # exploding BOTH sides by probe_radius (balls are symmetric:
+        # sig_b ∈ B(sig_a, 2r) ⟺ sig_a ∈ B(sig_b, 2r), and two
+        # radius-r balls intersect iff distance ≤ 2r), but the join
+        # input carries one exploded side instead of two, and the a<b
+        # filter still sees every unordered pair (from either
+        # direction).
+        ball_radius = 2 * probe_radius
         probe_arrays = []
         for r in range(rounds):
             sig = F.col("_sigs")[r]
             variants = [sig]
-            if probe_radius >= 1:
+            if ball_radius >= 1:
                 variants += [sig.bitwiseXOR(F.lit(1 << b)) for b in range(n_planes)]
-            if probe_radius >= 2:
+            if ball_radius >= 2:
                 variants += [
                     sig.bitwiseXOR(F.lit((1 << i) | (1 << j)))
                     for i in range(n_planes)
                     for j in range(i + 1, n_planes)
+                ]
+            if ball_radius >= 3:
+                variants += [
+                    sig.bitwiseXOR(F.lit((1 << i) | (1 << j) | (1 << k)))
+                    for i in range(n_planes)
+                    for j in range(i + 1, n_planes)
+                    for k in range(j + 1, n_planes)
+                ]
+            if ball_radius >= 4:
+                variants += [
+                    sig.bitwiseXOR(F.lit((1 << i) | (1 << j) | (1 << k) | (1 << l)))
+                    for i in range(n_planes)
+                    for j in range(i + 1, n_planes)
+                    for k in range(j + 1, n_planes)
+                    for l in range(k + 1, n_planes)
                 ]
             probe_arrays.append(
                 F.array(
@@ -216,8 +245,21 @@ def cosine_near_pairs(
         probes = sigs.select(
             "_id", F.explode(F.flatten(F.array(*probe_arrays))).alias("p")
         ).select("_id", "p.round", "p.bucket")
+        exact_sigs = sigs.select(
+            "_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("round"), F.col("_sigs")[r].alias("bucket")
+                        )
+                        for r in range(rounds)
+                    ]
+                )
+            ).alias("p"),
+        ).select("_id", "p.round", "p.bucket")
         pa = probes.select(F.col("_id").alias("a"), "round", "bucket")
-        pb = probes.select(F.col("_id").alias("b"), "round", "bucket")
+        pb = exact_sigs.select(F.col("_id").alias("b"), "round", "bucket")
         candidates = (
             pa.join(pb, ["round", "bucket"])
             .filter(F.col("a") < F.col("b"))
