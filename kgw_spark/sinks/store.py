@@ -170,3 +170,34 @@ class TableStore:
                 if part_key is not None:
                     per_part[part_key] = per_part.get(part_key, 0) + n
         return per_part, rows
+
+    def compact(
+        self,
+        spark: SparkSession,
+        name: str,
+        input_fingerprint: str | None = None,
+    ) -> dict:
+        """Small-file compaction (Iceberg ``rewrite_data_files``
+        analog): rewrite table ``name`` with one file per partition
+        value. Long-running ingestion — micro-batch appends, per-stage
+        writes at high parallelism — accretes files far smaller than a
+        scan-efficient split; at 100 TB that turns every downstream
+        scan into a file-listing storm. The rewrite hash-repartitions
+        BY the partition column (one shuffle; every partition value
+        lands in exactly one task, so the partitioned write emits one
+        file per value), goes through the same atomic staging rename,
+        and records a fresh manifest whose per-partition metrics
+        reflect the compacted layout. Row content is unchanged. For
+        partitions larger than one task should write, split by an
+        additional bucket column before calling this (Iceberg: bucket
+        transform)."""
+        m = self.manifest(name) or {}
+        partition_by = m.get("partition_by")
+        df = self.read(spark, name)
+        df = df.repartition(partition_by) if partition_by else df.coalesce(1)
+        return self.write(
+            df,
+            name,
+            partition_by=partition_by,
+            input_fingerprint=input_fingerprint or m.get("input_fingerprint"),
+        )

@@ -161,3 +161,39 @@ def test_pipeline_handles_empty_alias_and_empty_corpus(spark, tmp_path):
     assert [f.name for f in res2.edges.schema.fields] == [
         "source_id", "target_id", "type", "properties"
     ]
+
+
+def test_store_compaction_one_file_per_partition(spark, tmp_path):
+    """compact() rewrites a fragmented table to one file per partition
+    value, preserving rows, schema, manifest fingerprint, and
+    per-partition metric counts."""
+    import os
+
+    from kgw_spark.sinks.store import TableStore
+
+    store = TableStore(str(tmp_path / "store"))
+    df = spark.range(1000).selectExpr(
+        "id", "concat('t', cast(id % 3 as string)) AS type"
+    ).repartition(16)  # 16 tasks x 3 partition values = many small files
+    store.write(df, "frag", partition_by="type", input_fingerprint="fp1")
+
+    def files_per_part(path):
+        out = {}
+        for root, _d, files in os.walk(path):
+            n = sum(1 for f in files if f.endswith(".parquet"))
+            if n and "type=" in root:
+                out[root.rsplit("type=", 1)[1]] = n
+        return out
+
+    before = files_per_part(store.table_path("frag"))
+    assert max(before.values()) > 1  # genuinely fragmented
+
+    m_before = store.manifest("frag")
+    m = store.compact(spark, "frag")
+    after = files_per_part(store.table_path("frag"))
+    assert set(after) == {"t0", "t1", "t2"} and all(v == 1 for v in after.values())
+    assert m["rows"] == 1000 and m["partition_metrics"] == m_before["partition_metrics"]
+    assert m["input_fingerprint"] == "fp1"
+    got = store.read(spark, "frag")
+    assert got.count() == 1000 and set(got.columns) == {"id", "type"}
+    assert store.is_complete("frag", "fp1")
