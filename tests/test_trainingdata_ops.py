@@ -494,3 +494,21 @@ def test_ngram_containment_planted_leak(spark):
     }
     assert got[10] == (6, 4, round(4 / 6, 6))
     assert got[11] == (2, 0, 0.0)
+
+
+def test_triangle_count_hand_graphs(spark):
+    """Degree-ordered triangle counting on closed-form graphs: K4 has 4
+    triangles, a 4-cycle has 0, duplicates/reversed pairs/self-loops
+    collapse, and a pendant edge changes nothing."""
+    from kgw_spark.operators.triangles import triangle_count
+
+    def count(pairs):
+        df = spark.createDataFrame(pairs, "a int, b int")
+        r = triangle_count(df).first()
+        return r.n_edges, r.n_triangles
+
+    k4 = [(i, j) for i in range(4) for j in range(4) if i < j]
+    assert count(k4) == (6, 4)
+    assert count(k4 + [(3, 0), (2, 2), (0, 4)]) == (7, 4)  # dup/self/pendant
+    assert count([(0, 1), (1, 2), (2, 3), (3, 0)]) == (4, 0)  # C4
+    assert count([(0, 1), (1, 2), (2, 0)]) == (3, 1)
