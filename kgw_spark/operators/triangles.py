@@ -28,6 +28,13 @@ def triangle_count(pairs: DataFrame, a_col: str = "a", b_col: str = "b") -> Data
         pairs.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        # the edge list feeds degree counting, orientation, and the
+        # closing-edge lookup (4 plan references): materialize it once
+        # — when `pairs` is itself an expensive pipeline (an LSH
+        # near-dup join), recomputing it per reference dominates the
+        # whole census. The collapsed pair graph is orders of magnitude
+        # smaller than the corpus that produced it.
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("u").alias("x"))
