@@ -84,7 +84,17 @@ def _fresh_spark(cores: int, with_ui: bool = False):
     )
 
 
-def run_queries(spark, sf_dir: str = None) -> dict[str, float]:
+QUERY_TRIALS = int(os.environ.get("SPARK_GRAFT_QUERY_TRIALS", "2"))
+
+
+def run_queries(spark, sf_dir: str = None) -> tuple[dict[str, float], dict]:
+    """Per-query timings: QUERY_TRIALS interleaved passes over the full
+    suite (pass 1 of everything, then pass 2 — so the two samples of a
+    query are minutes apart and a host storm can't sink both). Returns
+    (best-of per query, detail with all trials + medians). Single-shot
+    timing made the r2→r3 regression list unattributable (engine vs
+    weather) — best-of-2 is the minimum that lets rounds be compared
+    best-to-best."""
     import __spark_entry__ as E
 
     sf_dir = sf_dir or SF_DIR
@@ -93,13 +103,21 @@ def run_queries(spark, sf_dir: str = None) -> dict[str, float]:
     # throwaway run so the first timed query is attributable (r1 showed
     # 7s of warm-up attributed to kg_statistics)
     qs["kg_statistics"](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    times = {}
-    for name in _headline():
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
-    return times
+    trials: dict[str, list[float]] = {name: [] for name in _headline()}
+    for _t in range(QUERY_TRIALS):
+        for name in _headline():
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            trials[name].append(round(time.time() - t0, 3))
+    best = {name: min(ts) for name, ts in trials.items()}
+    detail = {
+        "trials_per_query": QUERY_TRIALS,
+        "selection": "best-of-trials (interleaved full passes)",
+        "all_trials": trials,
+        "median": {name: _median(ts) for name, ts in trials.items()},
+    }
+    return best, detail
 
 
 def _burn(iters: int) -> int:
@@ -129,21 +147,24 @@ def cpu_probe(sizes=(2, 4, 8, 16, 32), burn_iters=2_000_000) -> dict:
 
 
 def choose_pairs(probe: dict) -> list[tuple[int, int]]:
-    """Candidate N→4N pairs: the widest pair whose probe throughput
-    ratio ≥ 3.2, PLUS the (2, 8) floor pair when distinct. The probe is
-    a point-in-time snapshot of a weather-prone shared host — a pair it
-    blesses can still hit a storm minutes later, so the scaling section
-    measures every candidate and reports each pair's efficiency (the
-    best one is the headline; all are in the detail record)."""
+    """The N→4N pair(s) to measure. Default: ONLY the (2, 8) floor pair
+    — three rounds of records show it is the widest pair this shared
+    host can genuinely parallelize (r3 measured the probe-blessed 8→32
+    pair at 0.287 against a probe ratio ≥ 3.2: the probe is a
+    point-in-time snapshot and consistently over-promises under
+    sustained load), and every extra pair adds minutes of weather-
+    exposed wall that degrade the statistics of the pair that counts.
+    ``SPARK_GRAFT_SCALING_WIDE=1`` re-enables the probe-widest
+    candidate alongside the floor for hosts that can take it."""
     pairs: list[tuple[int, int]] = []
-    for n in (8, 4, 2):
-        big = n * 4
-        if str(n) in probe and str(big) in probe:
-            if probe[str(big)] / probe[str(n)] >= 3.2:
-                pairs.append((n, big))
-                break
-    if (2, 8) not in pairs:
-        pairs.append((2, 8))
+    if os.environ.get("SPARK_GRAFT_SCALING_WIDE", "") == "1":
+        for n in (8, 4):
+            big = n * 4
+            if str(n) in probe and str(big) in probe:
+                if probe[str(big)] / probe[str(n)] >= 3.2:
+                    pairs.append((n, big))
+                    break
+    pairs.append((2, 8))
     return pairs
 
 
@@ -186,14 +207,22 @@ def shuffle_metrics(spark) -> dict | None:
 def ensure_corpus(spark, mult: int = 1) -> tuple[str, int]:
     """Generate the bench corpus once and cache it as parquet. ``mult``
     unions that many seed-distinct copies of the 1x corpus (the 10x
-    scale-up input) — generation stays 1x-driver-memory per seed."""
+    scale-up input) — generation stays 1x-driver-memory per seed.
+
+    Done-marker discipline: Spark writes ``_SUCCESS`` after the FIRST
+    seed's overwrite, so a crash during a later append would leave a
+    partial corpus that passes an ``_SUCCESS`` check on rerun (and
+    silently deflates every scale-up number while n_files reports the
+    full size). A custom marker is written only after the whole seed
+    loop completes; an unmarked directory is wiped and regenerated."""
     key = f"{KG_REPOS}x{KG_FILES}x{KG_CALL_LINES}m{mult}"
     path = f"{CORPUS_CACHE}_{key}"
-    marker = f"{path}/_SUCCESS"
+    marker = f"{path}/_KGW_CORPUS_COMPLETE"
     n_files = KG_REPOS * KG_FILES * mult
     if not os.path.exists(marker):
         from kgw_spark.sources.corpus import corpus_df, generate_corpus
 
+        shutil.rmtree(path, ignore_errors=True)
         for s in range(mult):
             rows, _ = generate_corpus(
                 n_repos=KG_REPOS,
@@ -209,6 +238,8 @@ def ensure_corpus(spark, mult: int = 1) -> tuple[str, int]:
                 rows = [dict(r, repo=f"{r['repo']}_s{s}") for r in rows]
             df = corpus_df(spark, rows).repartition(64)
             df.write.mode("overwrite" if s == 0 else "append").parquet(path)
+        with open(marker, "w") as f:
+            f.write("complete\n")
     return path, n_files
 
 
@@ -266,14 +297,17 @@ def main():
 
     spark = _fresh_spark(CPUS)
     corpus_path, n_files = ensure_corpus(spark)
-    detail["queries"] = run_queries(spark)
+    detail["queries"], detail["queries_trials"] = run_queries(spark)
 
     # per-query scale evidence: the same suite at sf0.01 (10x less
     # data); ratio >> 10 on a 10x data step means super-linear cost.
     # With per-query fixed overheads the ratio is normally ~1-4.
+    # Ratios compare best-of to best-of (attributable, weather-robust).
     small_sf = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")
     if os.path.isdir(small_sf) and small_sf != SF_DIR:
-        detail["queries_small_sf"] = run_queries(spark, small_sf)
+        detail["queries_small_sf"], detail["queries_small_sf_trials"] = run_queries(
+            spark, small_sf
+        )
         detail["per_query_scale_ratio"] = {
             k: round(detail["queries"][k] / max(detail["queries_small_sf"][k], 1e-3), 2)
             for k in detail["queries"]
@@ -301,8 +335,12 @@ def main():
         if "SPARK_GRAFT_SCALING_N" in os.environ:
             n = int(os.environ["SPARK_GRAFT_SCALING_N"])
             pairs = [(n, n * 4)]
-        trials = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "3"))
-        sizes = sorted({c for p in pairs for c in p} | {CPUS})
+        trials = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "5"))
+        # the scaling pair sizes get the full interleaved-trial
+        # treatment; CPUS (the headline-throughput size) is measured
+        # separately after — keeping the weather-exposed window of the
+        # pair measurement as short as possible
+        sizes = sorted({c for p in pairs for c in p})
         best: dict[int, dict] = {}
         walls: dict[int, list[float]] = {c: [] for c in sizes}
         shuffles: dict[int, dict | None] = {}
@@ -316,13 +354,26 @@ def main():
                     best[cores] = r
                 if t == 0:
                     shuffles[cores] = shuffle_metrics(s)
+        if CPUS not in best:
+            walls[CPUS] = []
+            for _t in range(int(os.environ.get("SPARK_GRAFT_HEAD_TRIALS", "2"))):
+                s = _fresh_spark(CPUS, with_ui=True)
+                r = run_kg_pipeline(s, corpus_path, alias_rows)
+                r["cores"] = CPUS
+                walls[CPUS].append(r["wall_sec"])
+                if CPUS not in best or r["wall_sec"] < best[CPUS]["wall_sec"]:
+                    best[CPUS] = r
+                if _t == 0:
+                    shuffles[CPUS] = shuffle_metrics(s)
+
+        pair_trials = trials
 
         def pair_report(n_small: int, n_big: int) -> dict:
             # paired (same interleaved round = closest to same host
             # weather) efficiencies alongside best-of and median
             paired = [
                 round((walls[n_small][i] / walls[n_big][i]) / (n_big / n_small), 3)
-                for i in range(trials)
+                for i in range(pair_trials)
             ]
             eff = (
                 best[n_big]["triples_per_sec"] / best[n_small]["triples_per_sec"]
@@ -352,9 +403,10 @@ def main():
         detail["scaling"] = {
             **head,
             "pair_selection": (
-                "all candidate pairs measured (widest with cpu-probe "
-                "ratio >= 3.2, plus the 2->8 floor); headline = best "
-                "pair, every pair reported"
+                "default: the 2->8 floor pair only (the widest this "
+                "host reliably parallelizes across three rounds of "
+                "records); SPARK_GRAFT_SCALING_WIDE=1 adds the probe-"
+                "widest candidate"
             ),
             "pairs": reports,
             "trials_per_size": trials,
@@ -379,6 +431,8 @@ def main():
         scaling_brief = {
             "pair": [head["cores_small"], head["cores_big"]],
             "eff": head["efficiency"],
+            "eff_med": head["efficiency_paired_median"],
+            "trials": trials,
             "tps_small": head["triples_per_sec_small"],
             "tps_big": head["triples_per_sec_big"],
         }

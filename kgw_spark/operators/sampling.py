@@ -25,8 +25,13 @@ _LCG_M = 1 << 31
 def lcg_bucket(key: Column, buckets: int = 100, salt: int = 0) -> Column:
     """Deterministic bucket in [0, buckets) from an integral key.
     64-bit safe: key * A + C stays under 2^63 for keys < ~8.4e9; larger
-    key spaces should pre-fold (key % 2^31) first."""
-    h = (key.cast("long") * F.lit(_LCG_A) + F.lit(_LCG_C + salt)) % F.lit(_LCG_M)
+    key spaces should pre-fold (key % 2^31) first. Negative keys are
+    folded into [0, M) first (sign-following ``%`` would otherwise
+    yield negative buckets, silently keeping 100% of negative-keyed
+    rows at any rate); the double-mod form is written identically in
+    the SQL twin so both engines agree on every 64-bit input."""
+    x = key.cast("long") * F.lit(_LCG_A) + F.lit(_LCG_C + salt)
+    h = (x % F.lit(_LCG_M) + F.lit(_LCG_M)) % F.lit(_LCG_M)
     return h % F.lit(buckets)
 
 
@@ -40,6 +45,6 @@ def hash_sample(
 def lcg_bucket_sql(key_expr: str, buckets: int = 100, salt: int = 0) -> str:
     """The identical bucket computation as ANSI SQL (the oracle twin)."""
     return (
-        f"((CAST({key_expr} AS BIGINT) * {_LCG_A} + {_LCG_C + salt})"
-        f" % {_LCG_M}) % {buckets}"
+        f"((((CAST({key_expr} AS BIGINT) * {_LCG_A} + {_LCG_C + salt})"
+        f" % {_LCG_M}) + {_LCG_M}) % {_LCG_M}) % {buckets}"
     )

@@ -153,6 +153,14 @@ def cosine_near_pairs(
     ``exact=True`` runs the full quadratic self-join — the brute-force
     oracle/test path, never the scale path.
     """
+    if probe_radius > 2:
+        # variant generation enumerates bit-flips only up to ball radius
+        # 4 (= 2·2); a larger radius would silently probe a smaller ball
+        # than the docstring contract promises
+        raise ValueError(
+            f"probe_radius={probe_radius} not supported (max 2); "
+            "use more rounds for higher recall instead"
+        )
     left = emb.select(
         F.col(id_col).alias("a"), F.col(vec_col).cast("array<double>").alias("va")
     )
@@ -324,13 +332,41 @@ def _lloyd_refine(
         centroids = [(cid, updated.get(cid, c)) for cid, c in centroids]
     return centroids
 def _assign_cells(emb: DataFrame, centroids, vec_col: str) -> DataFrame:
-    v = F.col(vec_col).cast("array<double>")
-    best = None
-    for cid, c in centroids:
-        d = _dot(v, F.array(*[F.lit(x) for x in c]))
-        cand = F.struct((-d).alias("negd"), F.lit(cid).alias("cell"))
-        best = cand if best is None else F.least(best, cand)
-    return emb.withColumn("_cell", best["cell"])
+    """Nearest-centroid cell per vector — lexicographic min over
+    (−dot, cell id), exactly as a chained ``F.least`` of structs would
+    compute it, via ONE Arrow-batched numpy kernel. The column-
+    expression formulation (16 centroids × dim fold terms chained
+    through struct comparisons) cost more to build/compile than the
+    data: ~7 s of driver-side Column construction plus ~4 s of codegen
+    PER JOB at sf0.1 — the same documented exception as the LSH
+    signature kernel in ``cosine_near_pairs``. Bit-parity with the
+    pure-Python oracle (ann_reference._fold_dot) holds because the
+    kernel accumulates ``acc = acc + v[i]·c[i]`` elementwise in index
+    order over float64 — the identical IEEE-754 operation sequence per
+    row; ties on the dot go to the lowest cell id (argmin returns the
+    first minimum, centroids are in cell-id order)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cents = [np.asarray(c, dtype=np.float64) for _cid, c in centroids]
+    cids = np.asarray([cid for cid, _c in centroids], dtype=np.int64)
+
+    def _cell_of(vecs):
+        V = np.array(vecs.tolist(), dtype=np.float64)
+        negd = np.empty((len(V), len(cents)), dtype=np.float64)
+        for j, c in enumerate(cents):
+            acc = np.zeros(len(V), dtype=np.float64)
+            for i in range(V.shape[1]):
+                acc = acc + V[:, i] * c[i]
+            negd[:, j] = -acc
+        return pd.Series(cids[np.argmin(negd, axis=1)])
+
+    # explicit Series->Series hints via annotations dict (the module's
+    # `from __future__ import annotations` breaks local-UDF inference)
+    _cell_of.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    cell_of = pandas_udf(_cell_of, "long")
+    return emb.withColumn("_cell", cell_of(F.col(vec_col).cast("array<double>")))
 
 
 def ivf_build(

@@ -109,33 +109,49 @@ def compact_schema(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     )
 
 
+# Above this many neighbors the hub's neighbor set stops being
+# broadcastable (ids ≈ 20-40 B each → ~100 MB at the gate) and the
+# among-join falls back to a shuffled semi-join.
+_NEIGHBOR_BROADCAST_GATE = 2_000_000
+
+
 def neighborhood(edges: DataFrame, node_id: str) -> DataFrame:
     """A7 (examples/downstream_analysis.ipynb): the 1-hop neighborhood
     of ``node_id`` — incident edges plus edges among the neighbors.
-    Neighbor-set membership is a semi-join, not a collect. The neighbor
-    set of a hub node is unbounded, so the broadcast is size-gated —
-    without file-level stats Catalyst can't bound a filtered set, the
-    hint is skipped, and AQE converts to a runtime broadcast when the
-    set is actually small."""
+
+    Plan discipline (the r3 super-linear fix): ``incident`` and the
+    derived neighbor set are hub-degree-bounded, so they are eagerly
+    materialized ONCE (``localCheckpoint``) instead of re-deriving the
+    full edge union four times; Catalyst cannot estimate a
+    filtered/derived set's size, so the neighbor broadcast is gated by
+    an explicit count (the checkpoint makes that count free) rather
+    than a skipped size hint. Net plan: two scans of ``edges`` (one for
+    incident, one for the among semi-joins — both semi-joins broadcast,
+    so they fuse into a single pass with no edge shuffle) and one
+    key-only distinct over the tiny result."""
     incident = edges.filter(
         (F.col("source_id") == node_id) | (F.col("target_id") == node_id)
-    )
+    ).localCheckpoint(eager=True)
     neighbors = (
         incident.select(F.col("source_id").alias("nid"))
         .union(incident.select(F.col("target_id").alias("nid")))
         .filter(F.col("nid") != node_id)
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    among = edges.join(
-        broadcast_if_small(neighbors),
-        edges["source_id"] == F.col("nid"),
-        "left_semi",
-    ).join(
-        broadcast_if_small(neighbors.withColumnRenamed("nid", "nid2")),
-        edges["target_id"] == F.col("nid2"),
-        "left_semi",
+    small = neighbors.count() <= _NEIGHBOR_BROADCAST_GATE
+    nb = F.broadcast(neighbors) if small else neighbors
+    nb2 = (
+        F.broadcast(neighbors.withColumnRenamed("nid", "nid2"))
+        if small
+        else neighbors.withColumnRenamed("nid", "nid2")
     )
-    return incident.union(among).distinct()
+    among = edges.join(nb, edges["source_id"] == F.col("nid"), "left_semi").join(
+        nb2, edges["target_id"] == F.col("nid2"), "left_semi"
+    )
+    return incident.union(among).dropDuplicates(
+        ["source_id", "type", "target_id"]
+    )
 
 
 _SCHEMA_VIZ_JS = """
@@ -213,37 +229,51 @@ def k_hop(edges: DataFrame, node_id: str, k: int) -> DataFrame:
     """BFS distances ≤ k from ``node_id`` over the undirected edge set:
     ``(id, hop)`` with hop = shortest undirected distance. Iterative
     frontier expansion — per level, two directional joins against the
-    2-column edge projection (frontier⋈source ∪ frontier⋈target), the
-    frontier broadcast while small (size-gated). Only the tiny frontier
-    and visited sets are ``localCheckpoint``-ed; the edge table is
-    never materialized to executor storage (the former symmetrize-and-
-    checkpoint shape pinned 2×|edges| to disk before any pruning — at
-    100× that's the dominant cost of a query that may touch a tiny
-    neighborhood). Extends A7's 1-hop neighborhood to the k-hop query
-    surface users point at the store."""
+    2-column edge projection (frontier⋈source ∪ frontier⋈target).
+
+    Plan discipline (the r3 de-overhead fix): the 2-col projection is
+    persisted ONCE per query (each of k levels scans the cached
+    columns, not the upstream union/parquet twice); the frontier is
+    force-broadcast behind an explicit count gate — its count is
+    already known from the previous level's emptiness check, so no
+    level ever shuffles the edge set while the frontier is small — and
+    only the per-level frontier is checkpointed (the visited set is a
+    cheap union of those ≤k tiny checkpointed frames, not re-
+    checkpointed every round)."""
     spark = edges.sparkSession
-    e = edges.select(F.col("source_id").alias("u"), F.col("target_id").alias("v"))
-    visited = spark.createDataFrame([(node_id, 0)], "id string, hop int")
-    frontier = visited
+    e = edges.select(
+        F.col("source_id").alias("u"), F.col("target_id").alias("v")
+    ).persist()
+    seed = spark.createDataFrame([(node_id, 0)], "id string, hop int")
+    frames = [seed]
+    frontier, frontier_n = seed, 1
     for hop in range(1, k + 1):
-        fwd = e.join(
-            broadcast_if_small(frontier.select(F.col("id").alias("u"))), "u"
-        ).select(F.col("v").alias("id"))
-        bwd = e.join(
-            broadcast_if_small(frontier.select(F.col("id").alias("v"))), "v"
-        ).select(F.col("u").alias("id"))
+        visited = frames[0]
+        for fr in frames[1:]:
+            visited = visited.union(fr)
+        fu = frontier.select(F.col("id").alias("u"))
+        fv = frontier.select(F.col("id").alias("v"))
+        if frontier_n <= _NEIGHBOR_BROADCAST_GATE:
+            fu, fv = F.broadcast(fu), F.broadcast(fv)
+        fwd = e.join(fu, "u").select(F.col("v").alias("id"))
+        bwd = e.join(fv, "v").select(F.col("u").alias("id"))
         nxt = (
             fwd.union(bwd)
             .distinct()
-            .join(visited, "id", "left_anti")
+            .join(visited.select("id"), "id", "left_anti")
             .withColumn("hop", F.lit(hop))
             .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
+        frontier_n = nxt.count()
+        if frontier_n == 0:
             break
-        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frames.append(nxt)
         frontier = nxt
-    return visited
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.union(fr)
+    e.unpersist()
+    return out
 
 
 def schema_html(nodes: DataFrame, edges: DataFrame, filepath: str) -> None:

@@ -171,11 +171,39 @@ class TableStore:
                     per_part[part_key] = per_part.get(part_key, 0) + n
         return per_part, rows
 
+    def _manifest_for_table(self, name: str, stage: str | None = None) -> dict:
+        """The manifest governing table ``name``: the given ``stage``'s
+        manifest when provided, else the unique manifest whose ``table``
+        field is ``name`` (``write()`` allows stage != name, so keying
+        by table name alone could silently miss the real manifest and
+        e.g. compact away a partition layout)."""
+        if stage is not None:
+            m = self.manifest(stage)
+            if m is None or m.get("table") != name:
+                raise ValueError(
+                    f"manifest for stage {stage!r} does not govern table {name!r}"
+                )
+            return m
+        matches = []
+        for fn in sorted(os.listdir(self.manifests_dir)):
+            if not fn.endswith(".json"):
+                continue
+            m = self.manifest(fn[: -len(".json")])
+            if m and m.get("table") == name:
+                matches.append(m)
+        if len(matches) != 1:
+            raise ValueError(
+                f"expected exactly one manifest for table {name!r}, "
+                f"found {len(matches)}; pass stage= to disambiguate"
+            )
+        return matches[0]
+
     def compact(
         self,
         spark: SparkSession,
         name: str,
         input_fingerprint: str | None = None,
+        stage: str | None = None,
     ) -> dict:
         """Small-file compaction (Iceberg ``rewrite_data_files``
         analog): rewrite table ``name`` with one file per partition
@@ -191,7 +219,7 @@ class TableStore:
         partitions larger than one task should write, split by an
         additional bucket column before calling this (Iceberg: bucket
         transform)."""
-        m = self.manifest(name) or {}
+        m = self._manifest_for_table(name, stage)
         partition_by = m.get("partition_by")
         df = self.read(spark, name)
         df = df.repartition(partition_by) if partition_by else df.coalesce(1)
@@ -199,5 +227,6 @@ class TableStore:
             df,
             name,
             partition_by=partition_by,
+            stage=m.get("stage"),
             input_fingerprint=input_fingerprint or m.get("input_fingerprint"),
         )

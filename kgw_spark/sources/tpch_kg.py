@@ -21,7 +21,39 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str]) -> dict:
     return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
 
 
+# Derived-view cache: the node/edge union is referenced by a dozen
+# analytics queries per session (schema, neighborhood, pagerank, k-hop,
+# degree…), each of which would otherwise re-scan six parquet tables and
+# re-evaluate the union. One persisted copy per (SparkContext, sf_dir)
+# amortizes that — the local-mode analog of materializing the KG view as
+# a store table once and pointing every query at it. Keyed by
+# applicationId so entries from stopped sessions are dropped (their
+# cached blocks died with the context).
+_VIEW_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _cached(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
+    import os
+
+    app = spark.sparkContext.applicationId
+    key = (app, os.path.normpath(sf_dir), kind)
+    stale = [k for k in _VIEW_CACHE if k[0] != app]
+    for k in stale:
+        del _VIEW_CACHE[k]
+    if key not in _VIEW_CACHE:
+        _VIEW_CACHE[key] = build().persist()
+    return _VIEW_CACHE[key]
+
+
 def kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cached(spark, sf_dir, "nodes", lambda: _kg_nodes(spark, sf_dir))
+
+
+def kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cached(spark, sf_dir, "edges", lambda: _kg_edges(spark, sf_dir))
+
+
+def _kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(
         spark, sf_dir, ["region", "nation", "customer", "supplier", "part", "orders"]
     )
@@ -39,7 +71,7 @@ def kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(
         spark, sf_dir, ["nation", "customer", "supplier", "orders", "lineitem"]
     )
