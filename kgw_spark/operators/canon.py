@@ -107,6 +107,12 @@ def connected_components(
     ``edge_count``: callers that already know the size (e.g. from a
     committed-stage manifest) pass it to skip the sizing count job.
     """
+    # the pair set is consumed at least twice (sizing count + either the
+    # driver iterate or the first symmetrize) and its lineage is often
+    # the expensive part (e.g. a full LSH verify pipeline feeding dedup
+    # clustering — recomputing it doubled that query's wall); cache it
+    # for the duration of this call
+    pairs = pairs.persist()
     n = edge_count if edge_count is not None else pairs.count()
     if n <= DRIVER_CC_THRESHOLD and not force_distributed:
         from kgw_spark.plans.hints import plan_size_bytes

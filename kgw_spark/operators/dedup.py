@@ -204,16 +204,25 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig array<long>) — min over shingles of (a*h+b) mod M per
     permutation; base shingle hash is xxhash64 (JVM-side)."""
-    sh = shingles(docs, n, id_col, text_col).withColumn(
-        "h", F.abs(F.xxhash64("shingle")) % F.lit(_MERSENNE)
+    return _signatures_from_shingles(
+        shingles(docs, n, id_col, text_col), num_perm, seed, id_col
     )
+
+
+def _signatures_from_shingles(
+    sh: DataFrame, num_perm: int, seed: int, id_col: str
+) -> DataFrame:
+    """Signatures from an existing (id, shingle) table — lets callers
+    that also need the shingle set for exact verification (LSH) build
+    it once."""
+    hashed = sh.withColumn("h", F.abs(F.xxhash64("shingle")) % F.lit(_MERSENNE))
     coeffs = _perm_coeffs(num_perm, seed)
     # one aggregate pass: min per permutation, computed as expressions
     aggs = [
         F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"m{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
-    sig = sh.groupBy(id_col).agg(*aggs)
+    sig = hashed.groupBy(id_col).agg(*aggs)
     return sig.select(
         F.col(id_col),
         F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig"),
@@ -231,10 +240,20 @@ def minhash_lsh_pairs(
     text_col: str = "text",
 ) -> DataFrame:
     """Candidate pairs via banded LSH on the minhash signature, then
-    exact n-gram-Jaccard verification of candidates only."""
+    exact n-gram-Jaccard verification of candidates only.
+
+    Plan discipline: the shingle table (a regex-split + zip-with-chain
+    explode over every document — the most expensive projection in the
+    pipeline) is built ONCE and persisted, feeding both the signature
+    aggregation and the exact-Jaccard verify; the candidate set is
+    checkpointed (it is band-collision-bounded and tiny relative to
+    the corpus), so the verify phase broadcasts candidates into scans
+    of the cached shingles instead of shuffling the shingle table on a
+    composite key."""
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(docs, n, num_perm, seed, id_col, text_col)
+    sh = shingles(docs, n, id_col, text_col).persist()
+    sig = _signatures_from_shingles(sh, num_perm, seed, id_col)
     banded = sig.select(
         F.col(id_col),
         F.explode(
@@ -257,10 +276,18 @@ def minhash_lsh_pairs(
     a = banded.select(F.col(id_col).alias("a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("b"), "band", "bucket")
     candidates = (
-        a.join(b, ["band", "bucket"]).filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
     )
-    # verify candidates with exact jaccard (join back to shingle sets)
-    sh = shingles(docs, n, id_col, text_col)
+    # verify candidates with exact jaccard against the SAME cached
+    # shingle table; the candidate side is band-collision-bounded and
+    # tiny relative to the corpus, so AQE converts these shuffles to
+    # runtime broadcasts from actual sizes (an eager checkpoint + count
+    # gate here measured SLOWER — it serializes the candidate build and
+    # the verify into separate jobs instead of letting one job pipeline
+    # all stages across the cluster)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_size"))
     sa = sh.select(F.col(id_col).alias("a"), "shingle")
     sb = sh.select(F.col(id_col).alias("b"), "shingle")
