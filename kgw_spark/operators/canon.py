@@ -178,9 +178,51 @@ def compose_mapping(alias_df: DataFrame, **cc_kwargs) -> DataFrame:
     components of those pairs give one final ``(id, canonical_id)``
     mapping. Applying this mapping once is algebraically the
     composition link∘canonicalize, at half the broadcast joins —
-    losing low-score candidates deliberately do NOT union components."""
-    from kgw_spark.operators.link import best_candidates
+    losing low-score candidates deliberately do NOT union components.
 
+    While the alias dictionary fits the driver budget, the whole
+    disambiguate+union runs in-core off ONE collect: the generic path
+    (window row_number → persist → count → toLocalIterator) schedules
+    3-4 separate tiny Spark jobs whose scheduling barriers alone cost
+    ~5 s per pipeline run — pure serial time that the N→4N scaling
+    ratio pays at every cluster size. Semantics are identical: best
+    candidate per alias = (score desc, canonical asc), identity pairs
+    dropped, lexicographic-min component representative."""
+    from kgw_spark.operators.link import best_candidates
+    from kgw_spark.plans.hints import plan_size_bytes
+
+    if not cc_kwargs and plan_size_bytes(alias_df) <= DRIVER_CC_MAX_BYTES:
+        rows = alias_df.select("alias_id", "canonical_id", "score").collect()
+        best: dict[str, tuple[float, str]] = {}
+        for alias, canon, score in rows:
+            cand = (-score, canon)
+            cur = best.get(alias)
+            if cur is None or cand < cur:
+                best[alias] = cand
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            parent.setdefault(x, x)
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for alias, (_negscore, canon) in best.items():
+            if alias == canon:
+                continue
+            ra, rb = find(alias), find(canon)
+            if ra != rb:
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        out = [(x, find(x)) for x in list(parent)]
+        return alias_df.sparkSession.createDataFrame(
+            out, schema="id string, canonical_id string"
+        )
     return connected_components(alias_pairs(best_candidates(alias_df)), **cc_kwargs)
 
 
