@@ -512,3 +512,53 @@ def test_triangle_count_hand_graphs(spark):
     assert count(k4 + [(3, 0), (2, 2), (0, 4)]) == (7, 4)  # dup/self/pendant
     assert count([(0, 1), (1, 2), (2, 3), (3, 0)]) == (4, 0)  # C4
     assert count([(0, 1), (1, 2), (2, 0)]) == (3, 1)
+
+
+def test_pii_redaction_hand_cases(spark):
+    """PII scrub: detection counts and redacted text on crafted rows —
+    replace-all semantics, composition order (email wins over the IP
+    inside an address-like domain), and clean rows untouched."""
+    from kgw_spark.functions import pii
+
+    rows = [
+        (1, "mail a@b.co and c.d+x@e-f.org twice"),
+        (2, "server 10.0.200.17 and 192.168.1.1"),
+        (3, "call +49 151 2345 now"),
+        (4, "user@10.0.0.1 logged in"),  # no alpha TLD -> not an email
+        (5, "nothing sensitive here 1.2 3.4"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            pii.pii_counts(F.col("text"))["email"].alias("e"),
+            pii.pii_counts(F.col("text"))["ipv4"].alias("i"),
+            pii.pii_counts(F.col("text"))["phone"].alias("p"),
+            pii.redact_pii(F.col("text")).alias("red"),
+        ).collect()
+    }
+    assert (out[1]["e"], out[1]["red"]) == (2, "mail <EMAIL> and <EMAIL> twice")
+    assert (out[2]["i"], out[2]["red"]) == (2, "server <IP> and <IP>")
+    assert (out[3]["p"], out[3]["red"]) == (1, "call <PHONE> now")
+    # the address-like 'user@10.0.0.1' has no alphabetic TLD, so the
+    # (precision-first) email pattern leaves it alone and only the
+    # embedded IP is scrubbed
+    assert (out[4]["e"], out[4]["i"]) == (0, 1)
+    assert out[4]["red"] == "user@<IP> logged in"
+    assert out[5]["red"] == rows[4][1]
+    # SQL twin agrees on the same crafted rows
+    import duckdb
+    import pandas as pd
+
+    frags = pii.pii_sql("text")
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sql = con.execute(
+        f"SELECT doc_id, {frags['email']} e, {frags['ipv4']} i, "
+        f"{frags['phone']} p, {frags['redacted']} red FROM t ORDER BY doc_id"
+    ).fetchall()
+    for doc_id, e, i, p, red in sql:
+        assert (e, i, p, red) == (
+            out[doc_id]["e"], out[doc_id]["i"], out[doc_id]["p"], out[doc_id]["red"]
+        )
