@@ -431,7 +431,8 @@ def main():
         scaling_brief = {
             "pair": [head["cores_small"], head["cores_big"]],
             "eff": head["efficiency"],
-            "eff_med": head["efficiency_paired_median"],
+            "eff_med": head["efficiency_median"],
+            "eff_pmed": head["efficiency_paired_median"],
             "trials": trials,
             "tps_small": head["triples_per_sec_small"],
             "tps_big": head["triples_per_sec_big"],
