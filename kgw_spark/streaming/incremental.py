@@ -112,6 +112,35 @@ def windowed_event_counts(
     )
 
 
+def stream_dedup_exact(
+    docs_stream: DataFrame,
+    watermark_delay: str = "1 hour",
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ingestion-time exact dedup of a streaming document source: the
+    first arrival of each content hash passes, re-arrivals within the
+    watermark horizon are dropped
+    (``dropDuplicatesWithinWatermark`` — state is evicted once the
+    watermark passes, so it is bounded by arrival rate × delay, not by
+    corpus size). The shuffle key is the 32-byte sha256, never the
+    document — the same discipline as the batch ``exact_duplicates``.
+
+    Trade-off, stated: a duplicate arriving AFTER the watermark horizon
+    re-emits (its state is gone). A 100-TB pipeline composes this
+    stream-side filter (kills the overwhelmingly-common near-in-time
+    re-crawls cheaply) with the global batch dedup in the periodic
+    ``compact()`` pass, which is exact over all time."""
+    from pyspark.sql import functions as F
+
+    return (
+        docs_stream.withColumn("ts", F.col(ts_col).cast("timestamp"))
+        .withColumn("text_sha256", F.sha2(F.col(text_col), 256))
+        .withWatermark("ts", watermark_delay)
+        .dropDuplicatesWithinWatermark(["text_sha256"])
+    )
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator: streaming sessionization via
 # applyInPandasWithState — per-user session assembly with gap timeout,

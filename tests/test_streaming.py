@@ -181,3 +181,49 @@ def test_sessionize_stream_out_of_order_across_batches(spark, tmp_path):
     full = pd.concat([batch1, late], ignore_index=True)
     assert got == sessionize_batch_oracle(full, gap_sec=1800)
     assert len(got) == 1 and got[0][3] == 3  # one fused session
+
+
+def test_stream_dedup_exact_matches_batch(spark, tmp_path):
+    """Ingestion-time streaming dedup: duplicates planted across two
+    file drops (all within the watermark horizon) are dropped; the
+    surviving content-hash set equals the batch exact dedup's."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from kgw_spark.streaming.incremental import stream_dedup_exact
+
+    rows1 = [(i, f"document body {i}", f"2024-01-01 10:{i:02d}:00") for i in range(20)]
+    # second drop: 10 new docs + 10 re-arrivals of earlier content
+    rows2 = [
+        (100 + i, f"document body {100 + i}", f"2024-01-01 11:{i:02d}:00")
+        for i in range(10)
+    ] + [(200 + i, f"document body {i}", f"2024-01-01 11:3{i % 10}:00") for i in range(10)]
+    drop = str(tmp_path / "drop")
+    schema = "doc_id long, text string, ts string"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(drop)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(drop)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    out_dir = str(tmp_path / "deduped")
+    q = (
+        stream_dedup_exact(stream, watermark_delay="2 hours")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    batch = spark.createDataFrame(rows1 + rows2, schema)
+    expected_hashes = {
+        r["h"] for r in batch.select(F.sha2("text", 256).alias("h")).distinct().collect()
+    }
+    assert got.count() == 30  # 20 + 10 new; the 10 re-arrivals dropped
+    assert {r["text_sha256"] for r in got.collect()} == expected_hashes
