@@ -19,7 +19,7 @@ shuffle-friendly; no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -137,6 +137,100 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# Winnowing (MOSS-style) fingerprints — the standard source-code
+# near-dup / plagiarism technique: guaranteed to share a fingerprint
+# with any copy that shares a run of at least w+k-1 tokens, while
+# storing only ~2/(w+1) of the gram hashes.
+# --------------------------------------------------------------------------
+def positional_shingles(
+    docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, pos, shingle): word n-grams WITH their position — winnowing
+    needs the gram sequence, not the gram set. Same zip-with-chain
+    construction as ``shingles`` (O(tokens) per row, JVM-side), minus
+    the distinct."""
+    toks = F.split(F.trim(F.col(text_col)), "\\s+")
+    acc = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0)))
+        acc = F.zip_with(
+            acc,
+            shifted,
+            lambda x, y: F.when(
+                x.isNull() | y.isNull(), F.lit(None)
+            ).otherwise(F.concat(x, F.lit(" "), y)),
+        )
+    grams = F.filter(acc, lambda s: s.isNotNull())
+    return docs.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "shingle")
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc winnowed fingerprint set: hash every word ``k``-gram
+    (xxhash64, JVM-side), slide a ``w``-gram window over the hash
+    sequence, keep the minimum of each window, dedup. One narrow
+    pass + a per-doc sort window — no shuffle of text. Guarantee: two
+    docs sharing ≥ w+k-1 consecutive tokens share ≥ 1 fingerprint."""
+    sh = positional_shingles(docs, k, id_col, text_col).withColumn(
+        "h", F.xxhash64("shingle")
+    )
+    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    # only full windows select a fingerprint (positions past
+    # n_grams - w would re-select suffix minima over short windows)
+    n_grams = Window.partitionBy(id_col)
+    fp = (
+        sh.withColumn("_min", F.min("h").over(win))
+        .withColumn("_total", F.count(F.lit(1)).over(n_grams))
+        .filter(F.col("pos") <= F.col("_total") - w)
+        .select(F.col(id_col), F.col("_min").alias("fingerprint"))
+        .distinct()
+    )
+    return fp
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int | None = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(a, b, n_shared): doc pairs sharing ≥ ``min_shared`` winnowed
+    fingerprints — code-clone candidates. The self-join carries only
+    (id, 8-byte fingerprint); ``max_fp_df`` caps join-key fan-out the
+    same way ngram_jaccard_pairs' shingle cap does (boilerplate
+    fingerprints in >cap docs are dropped before the quadratic join,
+    with the same documented trade-off)."""
+    fp = winnow_fingerprints(docs, k, w, id_col, text_col)
+    per_fp = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("_df"))
+    keep = per_fp.filter(F.col("_df") >= 2)
+    if max_fp_df is not None:
+        keep = keep.filter(F.col("_df") <= max_fp_df)
+    fp = fp.join(keep.select("fingerprint"), "fingerprint")
+    a = fp.select(F.col(id_col).alias("a"), "fingerprint")
+    b = fp.select(F.col(id_col).alias("b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
     )
 
 

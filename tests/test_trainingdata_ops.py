@@ -562,3 +562,31 @@ def test_pii_redaction_hand_cases(spark):
         assert (e, i, p, red) == (
             out[doc_id]["e"], out[doc_id]["i"], out[doc_id]["p"], out[doc_id]["red"]
         )
+
+
+def test_winnow_guarantee_and_pairs(spark):
+    """Winnowing guarantee: docs sharing >= w+k-1 consecutive tokens
+    share at least one fingerprint; a short overlap yields no pair at
+    min_shared=2; fingerprint count is ~2/(w+1) of the gram count."""
+    base = [f"tok{i}" for i in range(60)]
+    run = [f"shared{i}" for i in range(20)]  # 20 >> w+k-1 = 8
+    rows = [
+        (1, " ".join(base[:25] + run)),
+        (2, " ".join(run + base[25:50])),
+        (3, " ".join(f"other{i}" for i in range(40)) + " " + " ".join(run[:6])),
+        (4, " ".join(f"unrelated{i}" for i in range(45))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = dedup.winnow_fingerprints(docs, k=5, w=4)
+    by_doc = {
+        r["doc_id"]: r["n"]
+        for r in fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # density: 45 tokens -> 41 grams -> 38 windows; distinct minima ~2/(w+1)
+    assert 4 <= by_doc[4] <= 20
+    pairs = {
+        (r["a"], r["b"]): r["n_shared"]
+        for r in dedup.winnow_pairs(docs, k=5, w=4, min_shared=2).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2  # long shared run found
+    assert all(4 not in p for p in pairs)  # unrelated doc pairs with nobody
