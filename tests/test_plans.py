@@ -260,3 +260,28 @@ def test_contamination_no_cartesian_distinct_before_join(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     # the distinct (partial+final HashAggregate) sits below the hit join
     assert p.count("HashAggregate") >= 4
+
+
+def test_neighborhood_among_join_is_broadcast(spark):
+    """The r4 neighborhood plan: both among-semi-joins broadcast the
+    (checkpointed, hub-bounded) neighbor set — the edge table is never
+    shuffled — and the final dedup is over keys only."""
+    edges = KG.kg_edges(spark, SF)
+    p = plan(analytics.neighborhood(edges, "nation:3"))
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "LeftSemi" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_k_hop_frontier_joins_are_broadcast(spark):
+    """Per-level frontier joins against the cached edge projection use
+    broadcast (gated on the known frontier count) — no full-edge
+    shuffle at any level; the edge projection is served from the
+    persisted cache (InMemoryTableScan in the final plan)."""
+    edges = KG.kg_edges(spark, SF)
+    out = analytics.k_hop(edges, "customer:1", k=2)
+    p = plan(out)
+    assert "SortMergeJoin" not in p
+    # the visited union assembled from checkpointed per-level
+    # frontiers: scans, not shuffles
+    assert "Exchange hashpartitioning" not in p
