@@ -185,14 +185,31 @@ def compose_mapping(alias_df: DataFrame, **cc_kwargs) -> DataFrame:
     (window row_number → persist → count → toLocalIterator) schedules
     3-4 separate tiny Spark jobs whose scheduling barriers alone cost
     ~5 s per pipeline run — pure serial time that the N→4N scaling
-    ratio pays at every cluster size. Semantics are identical: best
-    candidate per alias = (score desc, canonical asc), identity pairs
-    dropped, lexicographic-min component representative."""
-    from kgw_spark.operators.link import best_candidates
-    from kgw_spark.plans.hints import plan_size_bytes
+    ratio pays at every cluster size. The gate is a bounded
+    ``limit(N+1).collect()`` probe, NOT a Catalyst size estimate:
+    arrow-enabled ``createDataFrame`` frames are stats-less LogicalRDDs
+    (sizeInBytes = Long.MaxValue), so a stats gate silently never
+    fires; the probe is one early-stopping job and its rows ARE the
+    input when it passes. The returned mapping carries an explicit
+    broadcast hint — it is driver-resident by construction, and without
+    the hint the stats-less plan would cost ``canonicalize`` a full
+    shuffle-write of the mentions table before AQE rescues the join.
+    Semantics are identical to the generic path: best candidate per
+    alias = (score desc, canonical asc), identity pairs dropped,
+    lexicographic-min component representative."""
+    from pyspark.sql import functions as _F
 
-    if not cc_kwargs and plan_size_bytes(alias_df) <= DRIVER_CC_MAX_BYTES:
-        rows = alias_df.select("alias_id", "canonical_id", "score").collect()
+    from kgw_spark.operators.link import best_candidates
+
+    probe = (
+        alias_df.select("alias_id", "canonical_id", "score")
+        .limit(DRIVER_CC_THRESHOLD + 1)
+        .collect()
+        if not cc_kwargs
+        else None
+    )
+    if probe is not None and len(probe) <= DRIVER_CC_THRESHOLD:
+        rows = probe
         best: dict[str, tuple[float, str]] = {}
         for alias, canon, score in rows:
             cand = (-score, canon)
@@ -220,8 +237,10 @@ def compose_mapping(alias_df: DataFrame, **cc_kwargs) -> DataFrame:
                 else:
                     parent[ra] = rb
         out = [(x, find(x)) for x in list(parent)]
-        return alias_df.sparkSession.createDataFrame(
-            out, schema="id string, canonical_id string"
+        return _F.broadcast(
+            alias_df.sparkSession.createDataFrame(
+                out, schema="id string, canonical_id string"
+            )
         )
     return connected_components(alias_pairs(best_candidates(alias_df)), **cc_kwargs)
 
