@@ -250,9 +250,13 @@ def run_kg_pipeline(spark, corpus_path, alias_rows) -> dict:
     from kgw_spark.sinks.store import TableStore
     from kgw_spark.sources.corpus import build_alias_dict  # noqa: F401
 
+    from kgw_spark.model import CORPUS_SCHEMA
+
     workdir = tempfile.mkdtemp(prefix="kgbench_", dir=_SCRATCH)
     try:
-        src = spark.read.parquet(corpus_path)
+        # explicit schema: skips the driver-side footer-inference job on
+        # every run (serial wall the scaling ratio pays at every size)
+        src = spark.read.schema(CORPUS_SCHEMA).parquet(corpus_path)
         adf = spark.createDataFrame(
             alias_rows, schema="alias_id string, canonical_id string, score double"
         )

@@ -59,9 +59,19 @@ def build_nodes(edges: DataFrame) -> DataFrame:
     ``n_mentions`` over both endpoint positions, so the expensive
     extraction chain is evaluated once, not twice."""
     n = F.get_json_object(F.col("properties"), "$.n_mentions").cast("long")
+    # both endpoints in ONE scan (array-explode), not a 2-branch union:
+    # the union form reads the committed edge table — and parses the
+    # properties JSON — twice
     ids = (
-        edges.select(F.col("source_id").alias("id"), n.alias("_n"))
-        .union(edges.select(F.col("target_id").alias("id"), n.alias("_n")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("source_id").alias("id"), n.alias("_n")),
+                    F.struct(F.col("target_id").alias("id"), n.alias("_n")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.id", "_e._n")
         .groupBy("id")
         .agg(F.sum("_n").alias("n_mentions"))
     )

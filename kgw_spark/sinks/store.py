@@ -151,11 +151,15 @@ class TableStore:
     def _footer_metrics(table_dir: str, partition_by: str | None):
         """Row counts per partition directory, read from parquet footers
         (driver-side metadata only — equivalent to Iceberg manifest
-        stats, costs no Spark job)."""
+        stats, costs no Spark job). Footer reads are farmed to a small
+        thread pool: at ~10 ms per footer a sequential walk over a
+        few hundred files adds seconds of pure serial wall to every
+        stage commit — cost the N→4N scaling ratio pays at all sizes."""
+        from concurrent.futures import ThreadPoolExecutor
+
         import pyarrow.parquet as pq
 
-        per_part: dict[str, int] = {}
-        rows = 0
+        targets: list[tuple[str | None, str]] = []
         for root, _dirs, files in os.walk(table_dir):
             part_key = None
             if partition_by:
@@ -163,9 +167,16 @@ class TableStore:
                     if seg.startswith(f"{partition_by}="):
                         part_key = seg.split("=", 1)[1]
             for fn in files:
-                if not fn.endswith(".parquet"):
-                    continue
-                n = pq.read_metadata(os.path.join(root, fn)).num_rows
+                if fn.endswith(".parquet"):
+                    targets.append((part_key, os.path.join(root, fn)))
+        per_part: dict[str, int] = {}
+        rows = 0
+        if targets:
+            with ThreadPoolExecutor(max_workers=min(16, len(targets))) as pool:
+                counts = pool.map(
+                    lambda t: (t[0], pq.read_metadata(t[1]).num_rows), targets
+                )
+            for part_key, n in counts:
                 rows += n
                 if part_key is not None:
                     per_part[part_key] = per_part.get(part_key, 0) + n
