@@ -347,6 +347,7 @@ def main():
         sizes = sorted({c for p in pairs for c in p})
         best: dict[int, dict] = {}
         walls: dict[int, list[float]] = {c: [] for c in sizes}
+        loads: dict[int, list[float]] = {c: [] for c in sizes}
         shuffles: dict[int, dict | None] = {}
         for t in range(trials):
             for cores in sizes:
@@ -354,17 +355,26 @@ def main():
                 r = run_kg_pipeline(s, corpus_path, alias_rows)
                 r["cores"] = cores
                 walls[cores].append(r["wall_sec"])
+                # 1-min load BEFORE our own JVM idles down: external
+                # load > ~2 during a trial marks a host storm — the
+                # contention caps effective cores and deflates the BIG
+                # size's wall disproportionately, which is how a storm
+                # reads as poor scaling. Recording it makes each
+                # trial's weather auditable in this same record.
+                loads[cores].append(round(os.getloadavg()[0], 1))
                 if cores not in best or r["wall_sec"] < best[cores]["wall_sec"]:
                     best[cores] = r
                 if t == 0:
                     shuffles[cores] = shuffle_metrics(s)
         if CPUS not in best:
             walls[CPUS] = []
+            loads[CPUS] = []
             for _t in range(int(os.environ.get("SPARK_GRAFT_HEAD_TRIALS", "2"))):
                 s = _fresh_spark(CPUS, with_ui=True)
                 r = run_kg_pipeline(s, corpus_path, alias_rows)
                 r["cores"] = CPUS
                 walls[CPUS].append(r["wall_sec"])
+                loads[CPUS].append(round(os.getloadavg()[0], 1))
                 if CPUS not in best or r["wall_sec"] < best[CPUS]["wall_sec"]:
                     best[CPUS] = r
                 if _t == 0:
@@ -421,6 +431,7 @@ def main():
                     "triples_per_sec": b["triples_per_sec"],
                     "wall_sec_median": _median(walls[c]),
                     "wall_sec_all": walls[c],
+                    "loadavg1_after_trial": loads.get(c, []),
                 }
                 for c, b in sorted(best.items())
             },
