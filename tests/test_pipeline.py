@@ -197,3 +197,26 @@ def test_store_compaction_one_file_per_partition(spark, tmp_path):
     got = store.read(spark, "frag")
     assert got.count() == 1000 and set(got.columns) == {"id", "type"}
     assert store.is_complete("frag", "fp1")
+
+
+def test_store_compact_finds_manifest_by_table_field(spark, tmp_path):
+    """write() allows stage != table name; compact() must locate the
+    governing manifest via its 'table' field (keying by table name
+    alone would silently compact with partition_by=None and destroy
+    the layout), and must refuse when the stage hint doesn't govern
+    the named table."""
+    import pytest
+
+    from kgw_spark.sinks.store import TableStore
+
+    store = TableStore(str(tmp_path / "s"))
+    df = spark.createDataFrame(
+        [(i, f"t{i % 3}") for i in range(30)], "id int, type string"
+    )
+    store.write(df.repartition(6), "tbl", partition_by="type", stage="stage_x")
+    m = store.compact(spark, "tbl")
+    assert m["partition_by"] == "type"
+    assert m["stage"] == "stage_x"  # recommitted under the governing stage
+    assert store.read(spark, "tbl").count() == 30
+    with pytest.raises(ValueError):
+        store.compact(spark, "tbl", stage="nonexistent")
