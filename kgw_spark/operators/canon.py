@@ -113,6 +113,24 @@ def connected_components(
     # clustering — recomputing it doubled that query's wall); cache it
     # for the duration of this call
     pairs = pairs.persist()
+    try:
+        return _connected_components_impl(
+            pairs, max_iterations, num_partitions, force_distributed, edge_count
+        )
+    finally:
+        # both exits (driver union-find, distributed) end with data
+        # materialized off the pair lineage (local rows / eager
+        # localCheckpoint), so the cache is releasable (ADVICE r4 #3)
+        pairs.unpersist()
+
+
+def _connected_components_impl(
+    pairs: DataFrame,
+    max_iterations: int,
+    num_partitions: int | None,
+    force_distributed: bool,
+    edge_count: int | None,
+) -> DataFrame:
     n = edge_count if edge_count is not None else pairs.count()
     if n <= DRIVER_CC_THRESHOLD and not force_distributed:
         from kgw_spark.plans.hints import plan_size_bytes
@@ -172,7 +190,56 @@ def alias_pairs(alias_df: DataFrame) -> DataFrame:
     )
 
 
-def compose_mapping(alias_df: DataFrame, **cc_kwargs) -> DataFrame:
+def compose_mapping_local(spark, rows) -> DataFrame:
+    """The in-core link∘canonicalize mapping for a DRIVER-RESIDENT
+    alias dictionary: ``rows`` iterates (alias_id, canonical_id, score)
+    tuples already in driver memory (the common production shape — a
+    curated dictionary loaded from a file — and what ``compose_mapping``
+    collects when its budget probe passes). Runs disambiguation (best
+    candidate per alias: score desc with None ranked last, canonical
+    asc) and union-find (lexicographic-min representative) with ZERO
+    Spark jobs, returning the broadcast-hinted mapping frame. Callers
+    that already hold the rows (pipelines fed from a dictionary file)
+    should pass them via ``run_pipeline(alias_local=...)`` — the probe
+    aggregate + re-collect round-trip is pure serial wall the N→4N
+    scaling ratio pays at every cluster size."""
+    best: dict[str, tuple[float, str]] = {}
+    for alias, canon, score in rows:
+        # None score ranks below every real score — identical to the
+        # generic window path's F.desc nulls-last (ADVICE r4 #2)
+        cand = (float("inf") if score is None else -score, canon)
+        cur = best.get(alias)
+        if cur is None or cand < cur:
+            best[alias] = cand
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for alias, (_negscore, canon) in best.items():
+        if alias == canon:
+            continue
+        ra, rb = find(alias), find(canon)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    out = [(x, find(x)) for x in list(parent)]
+    return F.broadcast(
+        spark.createDataFrame(out, schema="id string, canonical_id string")
+    )
+
+
+def compose_mapping(
+    alias_df: DataFrame, alias_rows=None, **cc_kwargs
+) -> DataFrame:
     """Disambiguate-then-union: the best-scoring candidate per alias
     (link semantics) feeds the equivalence pairs, and the connected
     components of those pairs give one final ``(id, canonical_id)``
@@ -181,67 +248,49 @@ def compose_mapping(alias_df: DataFrame, **cc_kwargs) -> DataFrame:
     losing low-score candidates deliberately do NOT union components.
 
     While the alias dictionary fits the driver budget, the whole
-    disambiguate+union runs in-core off ONE collect: the generic path
-    (window row_number → persist → count → toLocalIterator) schedules
-    3-4 separate tiny Spark jobs whose scheduling barriers alone cost
-    ~5 s per pipeline run — pure serial time that the N→4N scaling
-    ratio pays at every cluster size. The gate is a bounded
-    ``limit(N+1).collect()`` probe, NOT a Catalyst size estimate:
-    arrow-enabled ``createDataFrame`` frames are stats-less LogicalRDDs
-    (sizeInBytes = Long.MaxValue), so a stats gate silently never
-    fires; the probe is one early-stopping job and its rows ARE the
-    input when it passes. The returned mapping carries an explicit
-    broadcast hint — it is driver-resident by construction, and without
-    the hint the stats-less plan would cost ``canonicalize`` a full
-    shuffle-write of the mentions table before AQE rescues the join.
-    Semantics are identical to the generic path: best candidate per
-    alias = (score desc, canonical asc), identity pairs dropped,
-    lexicographic-min component representative."""
-    from pyspark.sql import functions as _F
-
+    disambiguate+union runs in-core (``compose_mapping_local``): the
+    generic path (window row_number → persist → count →
+    toLocalIterator) schedules 3-4 separate tiny Spark jobs whose
+    scheduling barriers alone cost ~5 s per pipeline run — pure serial
+    time that the N→4N scaling ratio pays at every cluster size. The
+    gate is ONE parallel aggregate bounding rows AND bytes, NOT a
+    Catalyst size estimate: arrow-enabled ``createDataFrame`` frames
+    are stats-less LogicalRDDs (sizeInBytes = Long.MaxValue), so a
+    stats gate silently never fires. ``alias_rows`` (driver-resident
+    (alias, canonical, score) tuples) skips even that probe. The
+    returned mapping carries an explicit broadcast hint — it is
+    driver-resident by construction, and without the hint the
+    stats-less plan would cost ``canonicalize`` a full shuffle-write of
+    the mentions table before AQE rescues the join. Semantics are
+    identical to the generic path: best candidate per alias = (score
+    desc, canonical asc), identity pairs dropped, lexicographic-min
+    component representative."""
     from kgw_spark.operators.link import best_candidates
 
-    probe = (
-        alias_df.select("alias_id", "canonical_id", "score")
-        .limit(DRIVER_CC_THRESHOLD + 1)
-        .collect()
-        if not cc_kwargs
-        else None
-    )
-    if probe is not None and len(probe) <= DRIVER_CC_THRESHOLD:
-        rows = probe
-        best: dict[str, tuple[float, str]] = {}
-        for alias, canon, score in rows:
-            cand = (-score, canon)
-            cur = best.get(alias)
-            if cur is None or cand < cur:
-                best[alias] = cand
-        parent: dict[str, str] = {}
-
-        def find(x: str) -> str:
-            parent.setdefault(x, x)
-            root = x
-            while parent[root] != root:
-                root = parent[root]
-            while parent[x] != root:
-                parent[x], x = root, parent[x]
-            return root
-
-        for alias, (_negscore, canon) in best.items():
-            if alias == canon:
-                continue
-            ra, rb = find(alias), find(canon)
-            if ra != rb:
-                if ra < rb:
-                    parent[rb] = ra
-                else:
-                    parent[ra] = rb
-        out = [(x, find(x)) for x in list(parent)]
-        return _F.broadcast(
-            alias_df.sparkSession.createDataFrame(
-                out, schema="id string, canonical_id string"
-            )
+    if alias_rows is not None and not cc_kwargs:
+        return compose_mapping_local(alias_df.sparkSession, alias_rows)
+    probe_ok = False
+    if not cc_kwargs:
+        # ONE cheap parallel aggregate bounds BOTH budgets — rows AND
+        # bytes — before any driver collect (ADVICE r4 #1): the former
+        # limit().collect() probe ran 3-4 incremental limit jobs (the
+        # scaleUpFactor ramp — measured ~1-3 s of pure serial wall on
+        # every pipeline run at every cluster size) and still pulled up
+        # to 2M full rows to the driver with no byte veto, a driver-OOM
+        # risk for long ids. Catalyst stats can't stand in for the byte
+        # side: arrow createDataFrame frames are stats-less LogicalRDDs
+        # (sizeInBytes = Long.MaxValue).
+        st = alias_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("alias_id") + F.length("canonical_id")).alias("b"),
+        ).collect()[0]
+        probe_ok = (
+            st["n"] <= DRIVER_CC_THRESHOLD
+            and (st["b"] or 0) + 48 * st["n"] <= DRIVER_CC_MAX_BYTES
         )
+    if probe_ok:
+        rows = alias_df.select("alias_id", "canonical_id", "score").collect()
+        return compose_mapping_local(alias_df.sparkSession, rows)
     return connected_components(alias_pairs(best_candidates(alias_df)), **cc_kwargs)
 
 

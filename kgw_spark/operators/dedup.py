@@ -190,12 +190,19 @@ def winnow_fingerprints(
     )
     win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
     # only full windows select a fingerprint (positions past
-    # n_grams - w would re-select suffix minima over short windows)
+    # n_grams - w would re-select suffix minima over short windows);
+    # docs with fewer than w grams have no full window — standard
+    # winnowing still keeps min(h) over ALL their grams as the single
+    # fingerprint (pos 0's window covers every gram then), so short
+    # docs remain matchable (ADVICE r4 #4)
     n_grams = Window.partitionBy(id_col)
     fp = (
         sh.withColumn("_min", F.min("h").over(win))
         .withColumn("_total", F.count(F.lit(1)).over(n_grams))
-        .filter(F.col("pos") <= F.col("_total") - w)
+        .filter(
+            (F.col("pos") <= F.col("_total") - w)
+            | ((F.col("_total") < w) & (F.col("pos") == 0))
+        )
         .select(F.col(id_col), F.col("_min").alias("fingerprint"))
         .distinct()
     )
@@ -393,7 +400,7 @@ def minhash_lsh_pairs(
     )
     za = sizes.select(F.col(id_col).alias("a"), F.col("_size").alias("size_a"))
     zb = sizes.select(F.col(id_col).alias("b"), F.col("_size").alias("size_b"))
-    return (
+    out = (
         common.join(za, "a")
         .join(zb, "b")
         .withColumn(
@@ -406,6 +413,14 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+    # The verified pair set is band-collision-bounded (tiny); eagerly
+    # materialize it so the shingle cache can be RELEASED here instead
+    # of living for the session (ADVICE r4 #3) — downstream consumers
+    # (clustering CC, curation anti-joins) re-read the checkpoint, not
+    # the shingle lineage.
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -38,6 +38,15 @@ def build_edges(mentions: DataFrame) -> DataFrame:
         F.col("subj").alias("source_id"),
         F.col("obj").alias("target_id"),
         F.col("pred").alias("type"),
+        # n_mentions rides BOTH as a first-class column and inside the
+        # JSON property bag: downstream numeric consumers (build_nodes'
+        # endpoint counts, degree rollups) read the plain column, so
+        # their parquet scan prunes the wide JSON strings entirely and
+        # never pays a per-row JSON parse — at 8M edges that parse was
+        # ~40 s of pure CPU (the dominant, poorly-scaling cost of the
+        # nodes stage); at 100 TB it's the difference between scanning
+        # a 8-byte column and re-parsing the whole property payload.
+        F.col("n_mentions"),
         F.to_json(
             F.struct(
                 F.col("n_mentions"),
@@ -58,7 +67,14 @@ def build_nodes(edges: DataFrame) -> DataFrame:
     endpoint mention counts are recovered exactly as the sum of edge
     ``n_mentions`` over both endpoint positions, so the expensive
     extraction chain is evaluated once, not twice."""
-    n = F.get_json_object(F.col("properties"), "$.n_mentions").cast("long")
+    # the plain n_mentions column when the edge table carries it (it
+    # always does for edges built by build_edges — pruned 3-column
+    # scan, no JSON parse); fall back to parsing the property bag for
+    # foreign edge tables
+    if "n_mentions" in edges.columns:
+        n = F.col("n_mentions").cast("long")
+    else:
+        n = F.get_json_object(F.col("properties"), "$.n_mentions").cast("long")
     # both endpoints in ONE scan (array-explode), not a 2-branch union:
     # the union form reads the committed edge table — and parses the
     # properties JSON — twice

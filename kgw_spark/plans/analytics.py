@@ -149,9 +149,13 @@ def neighborhood(edges: DataFrame, node_id: str) -> DataFrame:
     among = edges.join(nb, edges["source_id"] == F.col("nid"), "left_semi").join(
         nb2, edges["target_id"] == F.col("nid2"), "left_semi"
     )
-    return incident.union(among).dropDuplicates(
-        ["source_id", "type", "target_id"]
-    )
+    # Dedup key: the bare (source, type, target) triple when those are
+    # the only columns (narrow codegen'd key), else EVERY column —
+    # multi-edges that differ only in properties must both survive
+    # (DISTINCT-* semantics, matching the SQL oracle; ADVICE r4 #5).
+    triple = ["source_id", "type", "target_id"]
+    dedup_cols = triple if set(edges.columns) == set(triple) else edges.columns
+    return incident.union(among).dropDuplicates(dedup_cols)
 
 
 _SCHEMA_VIZ_JS = """

@@ -46,12 +46,18 @@ def run_pipeline(
     salted: bool = False,
     num_salts: int = 16,
     materialize_intermediate: bool = True,
+    alias_local=None,
 ) -> PipelineResult:
     """Run (or resume) the full KG-construction pipeline.
 
     ``input_fingerprint`` identifies the input snapshot (e.g. corpus
     content hash or Iceberg snapshot id); stages checkpointed under a
     different fingerprint are recomputed.
+
+    ``alias_local``: optional list of (alias_id, canonical_id, score)
+    tuples when the dictionary is already driver-resident (loaded from
+    a curated file — the common case); the broadcast-path mapping then
+    builds with zero probe/collect jobs (compose_mapping_local).
 
     ``materialize_intermediate=False`` fuses extract→link→canonicalize
     →build into one Catalyst plan and writes only the final nodes/edges
@@ -95,7 +101,9 @@ def run_pipeline(
         # applied with a single pair of broadcast joins
         canonical = stage(
             "canonical",
-            lambda: canonicalize(mentions, compose_mapping(alias_df)),
+            lambda: canonicalize(
+                mentions, compose_mapping(alias_df, alias_rows=alias_local)
+            ),
             "pred",
         )
     res.edges = stage("edges", lambda: build_edges(canonical), "type", final=True)

@@ -158,8 +158,10 @@ def test_pipeline_handles_empty_alias_and_empty_corpus(spark, tmp_path):
         TableStore(str(tmp_path / "ec")), input_fingerprint="ec",
     )
     assert res2.edges.count() == 0 and res2.nodes.count() == 0
+    # n_mentions rides as a first-class column besides the JSON bag so
+    # numeric consumers scan a pruned 8-byte column (graph.py)
     assert [f.name for f in res2.edges.schema.fields] == [
-        "source_id", "target_id", "type", "properties"
+        "source_id", "target_id", "type", "n_mentions", "properties"
     ]
 
 
