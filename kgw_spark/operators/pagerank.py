@@ -63,6 +63,10 @@ def pagerank(
     scale: int = 10**12,
 ) -> DataFrame:
     """Returns ``(id, rank_scaled)`` after ``iters`` exact iterations."""
+    # materialize the 2-column edge projection ONCE: `edges` is usually
+    # an expensive derivation (the KG construction joins), and without
+    # this both the node set and the links table would recompute it
+    edges = edges.select("source_id", "target_id").localCheckpoint(eager=True)
     nodes, out_deg = _graph_parts(edges)
     nodes = nodes.localCheckpoint(eager=True)
     n_nodes = nodes.count()

@@ -170,10 +170,6 @@ def cosine_near_pairs(
     if exact:
         joined = left.crossJoin(right).filter(F.col("a") < F.col("b"))
     else:
-        dim = len(emb.select(vec_col).first()[0])
-        planes_by_round = [
-            _planes(dim, n_planes, seed + r) for r in range(rounds)
-        ]
         # Signatures via one Arrow-batched numpy matmul per batch: the
         # column-expression formulation unrolls rounds×planes×dim fold
         # terms (×7 probe variants) into a megabyte-scale plan that
@@ -183,12 +179,24 @@ def cosine_near_pairs(
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
 
-        mats = [np.array(p).T for p in planes_by_round]  # dim x n_planes
+        # Plane matrices are built lazily INSIDE the worker from the
+        # first batch's vector length: _planes is a pure function of
+        # (dim, n_planes, seed), so every worker derives the identical
+        # matrices and the driver never runs a first() job just to
+        # learn the dimension.
+        mats_box: list = []
 
         def _sigs_of(vecs):
+            if len(vecs) == 0:
+                return pd.Series([], dtype="object")
             V = np.array(vecs.tolist(), dtype=np.float64)
-            out = np.zeros((len(V), len(mats)), dtype=np.int64)
-            for r, m in enumerate(mats):
+            if not mats_box:
+                mats_box.extend(
+                    np.array(_planes(V.shape[1], n_planes, seed + r)).T
+                    for r in range(rounds)
+                )
+            out = np.zeros((len(V), rounds), dtype=np.int64)
+            for r, m in enumerate(mats_box):
                 bits = ((V @ m) >= 0).astype(np.int64)  # (n, n_planes) sign bits
                 out[:, r] = bits @ (1 << np.arange(m.shape[1], dtype=np.int64))
             return pd.Series(out.tolist())
@@ -199,10 +207,13 @@ def cosine_near_pairs(
         _sigs_of.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
         sigs_of = pandas_udf(_sigs_of, "array<long>")
 
+        # The signature frame feeds BOTH join sides (probes and exact
+        # buckets): materialize it once — (id, 3 longs) per vector is
+        # tiny next to re-running the signature kernel per reference.
         sigs = emb.select(
             F.col(id_col).alias("_id"),
             sigs_of(F.col(vec_col).cast("array<double>")).alias("_sigs"),
-        )
+        ).localCheckpoint(eager=True)
         # One-sided probing: the LEFT side explodes each round signature
         # into its full Hamming ball of radius 2·probe_radius, the RIGHT
         # side keeps one exact (round, signature) row per vector. A pair
@@ -399,6 +410,7 @@ def ivf_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     kmeans_iters: int = 0,
+    init_centroids: list[tuple[int, list[float]]] | None = None,
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """Assign every vector to its nearest centroid cell. Returns the
     cell-assigned DataFrame and the centroid list (small, driver-side —
@@ -406,8 +418,11 @@ def ivf_build(
     vectors; ``kmeans_iters`` order-independent Lloyd rounds (see
     _lloyd_refine) give balanced cells at scale while staying
     bit-reproducible — the certified driver-oracle configuration runs
-    kmeans_iters=2."""
-    centroids = [
+    kmeans_iters=2. ``init_centroids`` lets a caller that has already
+    collected the ``n_cells`` lowest-id vectors (e.g. to extract a
+    query vector from the same rows) skip this function's init-collect
+    job — it must be exactly that list, in id order, cell ids 0..n-1."""
+    centroids = init_centroids if init_centroids is not None else [
         (i, [float(x) for x in r[vec_col]])
         for i, r in enumerate(
             emb.orderBy(id_col).limit(n_cells).collect()
@@ -429,12 +444,15 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     kmeans_iters: int = 0,
+    init_centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """ANN top-k via IVF: rerank only vectors in the ``n_probe`` cells
     whose centroids are closest to the query. At scale the assigned
     table is written partitioned by cell so a probe is a partition-
     pruned scan, not a full pass."""
-    assigned, centroids = ivf_build(emb, n_cells, id_col, vec_col, kmeans_iters)
+    assigned, centroids = ivf_build(
+        emb, n_cells, id_col, vec_col, kmeans_iters, init_centroids
+    )
     scored = sorted(
         centroids,
         key=lambda c: -sum(a * b for a, b in zip(query_vec, c[1])),

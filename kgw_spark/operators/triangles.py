@@ -55,13 +55,22 @@ def triangle_count(pairs: DataFrame, a_col: str = "a", b_col: str = "b") -> Data
     o1 = oriented.select(F.col("src"), F.col("dst").alias("b1"))
     o2 = oriented.select(F.col("src"), F.col("dst").alias("b2"))
     wedges = o1.join(o2, "src").filter(F.col("b1") < F.col("b2"))
+    # wedge count and closed-wedge (triangle) count in ONE pass over
+    # the wedge set: a left join against the distinct edge list matches
+    # at most one row per wedge, so count(*) is the wedge count and
+    # count(matched key) the triangle count — vs the previous
+    # count(wedges) + count(left_semi) pair that built the wedge join
+    # twice
+    closing = und.select(F.col("u").alias("_cu"), F.col("v").alias("_cv"))
     closed = wedges.join(
-        und,
-        (und["u"] == F.least("b1", "b2")) & (und["v"] == F.greatest("b1", "b2")),
-        "left_semi",
+        closing,
+        (F.col("_cu") == F.least("b1", "b2"))
+        & (F.col("_cv") == F.greatest("b1", "b2")),
+        "left",
     )
-    return (
-        und.agg(F.count(F.lit(1)).alias("n_edges"))
-        .crossJoin(wedges.agg(F.count(F.lit(1)).alias("n_wedges")))
-        .crossJoin(closed.agg(F.count(F.lit(1)).alias("n_triangles")))
+    return und.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        closed.agg(
+            F.count(F.lit(1)).alias("n_wedges"),
+            F.count("_cu").alias("n_triangles"),
+        )
     )
