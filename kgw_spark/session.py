@@ -45,10 +45,19 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # small Arrow batches: corpus rows carry multi-KB content, and
         # 10k-row batches (~180MB of strings) wreck pandas memory
-        # locality under many concurrent workers (measured 10x slower)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        # locality under many concurrent workers (measured 10x slower).
+        # 128 beats 512 by a further ~18% CPU at 8 concurrent lanes
+        # (per-batch footprint ~2MB fits cache; deeper JVM<->python
+        # pipelining) and is neutral at 2 lanes — measured on the KG
+        # pipeline, interleaved A/B, consumed-CPU minima
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "128")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # fork workers from a daemon that has pandas/numpy/pyarrow
+        # already imported (copy-on-write inheritance): stock workers
+        # pay ~4 CPU-s of import each, a per-worker tax that grows
+        # with executor core count (see worker_daemon docstring)
+        .config("spark.python.daemon.module", "kgw_spark.worker_daemon")
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
