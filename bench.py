@@ -848,7 +848,24 @@ def main():
     if len(line) > 1950:  # never overflow the driver's tail capture
         compact["queries"] = {"see": os.path.basename(DETAIL_PATH)}
         line = json.dumps(compact)
-    print(line)
+    print(line, flush=True)
+
+    # exit decisively: the JVM's own shutdown (48g heap, dozens of
+    # sessions) was observed to take minutes in do_wait — long after
+    # the result line and the detail file are both safely out. Kill
+    # the gateway child and skip python teardown.
+    try:
+        from pyspark.sql import SparkSession
+
+        s = SparkSession.getActiveSession()
+        if s is not None:
+            pid = s.sparkContext._gateway.proc.pid
+            import signal
+
+            os.kill(pid, signal.SIGKILL)
+    except Exception:
+        pass
+    os._exit(0)
 
 
 if __name__ == "__main__":
