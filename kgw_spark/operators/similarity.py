@@ -342,27 +342,68 @@ def _lloyd_refine(
     """``kmeans_iters`` order-independent Lloyd rounds; empty cells keep
     their previous centroid. Replicated bit-for-bit by
     functions/ann_reference.ref_ivf_topk."""
+    import numpy as np
+    import pandas as pd
+
+    # Each round is ONE mapInPandas pass that assigns cells, integer-
+    # quantizes, and PARTIALLY SUMS per python partition — emitting
+    # n_cells rows of (cell, count, array<long> sums) per partition for
+    # the driver to combine exactly (64-bit integer addition is order-
+    # independent). The former formulation built a dim-wide
+    # floor/cast/sum Catalyst aggregate per round: the measured cost
+    # was not the tiny job (~0.2 s) but ~1 s PER ROUND of driver-side
+    # plan construction/analysis before it — fixed serial wall on a
+    # query whose data is a few MB. Bit-parity with the column
+    # expressions holds: np.floor(V * 2^20) on float64 is the same
+    # IEEE-754 multiply+floor as F.floor(v[i] * lit(2^20)), and the
+    # final mean uses python floor division exactly as before.
     for _ in range(kmeans_iters):
-        assigned = _assign_cells(emb, centroids, vec_col)
-        v = F.col(vec_col).cast("array<double>")
-        sums = (
-            assigned.select(
-                "_cell",
-                *[
-                    F.floor(v[i] * F.lit(float(_QUANT))).cast("long").alias(f"q{i}")
-                    for i in range(dim)
-                ],
-            )
-            .groupBy("_cell")
-            .agg(
-                F.count(F.lit(1)).alias("_n"),
-                *[F.sum(f"q{i}").alias(f"q{i}") for i in range(dim)],
-            )
-            .collect()
-        )
+        cents = [np.asarray(c, dtype=np.float64) for _cid, c in centroids]
+        cids = np.asarray([cid for cid, _c in centroids], dtype=np.int64)
+
+        def _partial(batches, cents=cents, cids=cids):
+            n_cells = len(cids)
+            counts = np.zeros(n_cells, dtype=np.int64)
+            qsums = None
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                if qsums is None:
+                    qsums = np.zeros((n_cells, V.shape[1]), dtype=np.int64)
+                negd = np.empty((len(V), n_cells), dtype=np.float64)
+                for j, c in enumerate(cents):
+                    acc = np.zeros(len(V), dtype=np.float64)
+                    for i in range(V.shape[1]):
+                        acc = acc + V[:, i] * c[i]
+                    negd[:, j] = -acc
+                cell_idx = np.argmin(negd, axis=1)
+                Q = np.floor(V * float(_QUANT)).astype(np.int64)
+                for j in range(n_cells):
+                    m = cell_idx == j
+                    if m.any():
+                        counts[j] += int(m.sum())
+                        qsums[j] += Q[m].sum(axis=0)
+            if qsums is not None:
+                yield pd.DataFrame(
+                    {
+                        "_cell": cids,
+                        "_n": counts,
+                        "_q": [row.tolist() for row in qsums],
+                    }
+                )
+
+        parts = emb.select(vec_col).mapInPandas(
+            _partial, schema="_cell long, _n long, _q array<long>"
+        ).collect()
+        agg: dict[int, tuple[int, list[int]]] = {}
+        for r in parts:
+            n0, q0 = agg.get(r["_cell"], (0, [0] * dim))
+            agg[r["_cell"]] = (n0 + r["_n"], [a + b for a, b in zip(q0, r["_q"])])
         updated = {
-            r["_cell"]: [(r[f"q{i}"] // r["_n"]) / _QUANT for i in range(dim)]
-            for r in sums
+            cid: [(q // n) / _QUANT for q in qs]
+            for cid, (n, qs) in agg.items()
+            if n > 0
         }
         centroids = [(cid, updated.get(cid, c)) for cid, c in centroids]
     return centroids
