@@ -96,23 +96,27 @@ def _pin_cpus(spark, cores: int) -> bool:
         return False
 
 
-def _fresh_spark(cores: int, with_ui: bool = False, pin: bool = True):
+def _fresh_spark(
+    cores: int, with_ui: bool = False, pin: bool = True, extra_conf: dict | None = None
+):
     from kgw_spark.session import get_spark, stop_spark
 
     stop_spark()
-    extra = None
+    extra = dict(extra_conf or {})
     if with_ui:
         # the UI's REST API is how per-stage shuffle metrics are read
-        extra = {
-            "spark.ui.enabled": "true",
-            "spark.ui.port": "4055",
-            "spark.port.maxRetries": "64",
-        }
+        extra.update(
+            {
+                "spark.ui.enabled": "true",
+                "spark.ui.port": "4055",
+                "spark.port.maxRetries": "64",
+            }
+        )
     spark = get_spark(
         cores=cores,
         app_name=f"kgw_bench_{cores}",
         shuffle_partitions=cores,
-        extra_conf=extra,
+        extra_conf=extra or None,
     )
     if pin:
         # always re-pin: the JVM process persists across sessions, so a
@@ -519,6 +523,16 @@ def main():
 
     spark = _fresh_spark(CPUS)
     corpus_path, n_files = ensure_corpus(spark)
+    # KG-pipeline sessions (every size: scaling legs, headline,
+    # scale-up) run the byte-driven partitioning policy so the physical
+    # plan — scan splits, shuffle partitions, hence shuffled bytes and
+    # consumed CPU — is IDENTICAL at every parallelism level and the
+    # N->4N ratio measures threading, not plan drift. The query-suite
+    # session keeps cores-coupled defaults (many small inputs).
+    from kgw_spark.plans.partitioning import byte_driven_conf, dir_bytes
+
+    kg_conf = byte_driven_conf(dir_bytes(corpus_path))
+    detail["kg_partitioning_conf"] = kg_conf
     skip_queries = os.environ.get("SPARK_GRAFT_SKIP_QUERIES", "") == "1"
     if skip_queries:  # scaling-loop iteration only; never for records
         detail["queries"], detail["queries_trials"] = {"skipped": 0.0}, {}
@@ -546,6 +560,7 @@ def main():
     scaling_brief = None
     scaleup_brief = None
     if SKIP_SCALING:
+        spark = _fresh_spark(CPUS, extra_conf=kg_conf)
         _warm_python_workers(spark, CPUS)
         kg_head = run_kg_pipeline(spark, corpus_path, alias_rows)
         kg_head["cores"] = CPUS
@@ -646,7 +661,7 @@ def main():
                     time.sleep(15)
             probes = [_pburn(n_big_probe)]
             for cores in sizes:
-                s = _fresh_spark(cores, with_ui=True)
+                s = _fresh_spark(cores, with_ui=True, extra_conf=kg_conf)
                 warms.setdefault(cores, []).append(_warm_python_workers(s, cores))
                 r = run_kg_pipeline(s, corpus_path, alias_rows)
                 r["cores"] = cores
@@ -684,7 +699,7 @@ def main():
             _t = 0
             while _t < head_trials:
                 head_probes.append(_pburn(CPUS))
-                s = _fresh_spark(CPUS, with_ui=True)
+                s = _fresh_spark(CPUS, with_ui=True, extra_conf=kg_conf)
                 warms.setdefault(CPUS, []).append(_warm_python_workers(s, CPUS))
                 r = run_kg_pipeline(s, corpus_path, alias_rows)
                 r["cores"] = CPUS
@@ -832,6 +847,11 @@ def main():
             # scaling trials' _fresh_spark calls
             s = _fresh_spark(CPUS, with_ui=True)
             big_path, big_files = ensure_corpus(s, SCALEUP_MULT)
+            # byte-driven conf for the 10x corpus: ~10x the shuffle
+            # partitions of the 1x legs — the policy scales with DATA
+            s = _fresh_spark(
+                CPUS, with_ui=True, extra_conf=byte_driven_conf(dir_bytes(big_path))
+            )
             _warm_python_workers(s, CPUS)
             r10 = run_kg_pipeline(s, big_path, alias_rows)
             r1 = best.get(CPUS) or kg_head

@@ -1,0 +1,90 @@
+"""Byte-driven partitioning policy.
+
+Partition counts must be a function of DATA VOLUME, not cluster size:
+at 100 TB a 128 MB-target split plan yields ~800k scan tasks whether the
+cluster has 8 or 1000 executors, and the shuffle partition count follows
+the shuffled bytes. Spark's local-mode defaults instead couple both to
+the core count (``spark.sql.shuffle.partitions`` is static, and scan
+splits shrink via ``bytesPerCore`` = total/defaultParallelism in
+``FilePartition.maxSplitBytes``), so the *same job* does different
+physical work at different parallelism levels. Measured on the KG
+pipeline (round 5): with cores-coupled sizing the 8-lane leg consumed
+1.25x the JVM-tree CPU of the 2-lane leg — map-side combine collapses
+cross-file duplicate mentions before the shuffle, and fewer, larger map
+partitions see more duplicates (110 MB shuffled from 3 map tasks vs
+152 MB from 8+) — structurally capping 2->8 scaling efficiency at ~0.78
+no matter how well the threads scale. With this policy both legs run the
+identical split/shuffle plan and the ratio measures parallelism alone;
+it is also what a real deployment does, where partition sizing survives
+a 100x scale-up by construction because it derives from bytes.
+
+Constants here are the LOCAL test profile (tiny corpora, tmpfs IO); a
+cluster deployment would raise the targets to the usual 128 MB splits /
+64-128 MB shuffle partitions without changing the policy's shape.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+# local-profile targets: small enough that a toy corpus still fans out
+# across every lane of a local[32] session, large enough that per-task
+# overhead stays negligible (measured: 4 MB splits beat both 2 MB and
+# the cores-coupled default on wall AND consumed CPU at 8/32 lanes)
+SPLIT_TARGET_BYTES = 4 * 1024 * 1024
+OPEN_COST_BYTES = 1024 * 1024
+SHUFFLE_TARGET_BYTES = 16 * 1024 * 1024
+# shuffled bytes per input byte for the KG pipeline (mention rows are
+# wider than their compressed source); measured 152 MB / 71 MB ≈ 2.2
+SHUFFLE_AMPLIFICATION = 2.2
+MIN_SHUFFLE_PARTITIONS = 8
+
+
+def dir_bytes(path: str) -> int:
+    """Total size of the data files under ``path`` (driver-side stat
+    walk; cheap — one listing, no Spark job)."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def byte_driven_conf(
+    input_bytes: int,
+    *,
+    shuffle_amplification: float = SHUFFLE_AMPLIFICATION,
+    split_target: int = SPLIT_TARGET_BYTES,
+    shuffle_target: int = SHUFFLE_TARGET_BYTES,
+) -> dict[str, str]:
+    """Spark conf overrides making the physical plan a pure function of
+    the input size. Use the SAME dict at every parallelism level; the
+    cluster size then only determines concurrency, never the work.
+
+    - scan splits: ``minPartitionNum=1`` removes the bytesPerCore term,
+      so ``maxSplitBytes`` collapses to the constant ``split_target``;
+    - shuffle partitions: ceil(estimated shuffle bytes / target) with a
+      utilization floor, and AQE's advisory size set to the same target
+      so runtime coalescing cannot re-introduce a core-count dependence.
+    """
+    est_shuffle = max(1, int(input_bytes * shuffle_amplification))
+    # round to a multiple of MIN_SHUFFLE_PARTITIONS (a fixed quantum,
+    # still core-agnostic): task waves stay even at any lane count that
+    # divides the quantum. A ragged final wave is pure idle tail — at
+    # sp=10 on 8 lanes the 2-task second wave of the edges stage added
+    # ~2 s (13%) to the leg wall for zero work.
+    q = MIN_SHUFFLE_PARTITIONS
+    sp = max(q, round(est_shuffle / shuffle_target / q) * q)
+    return {
+        "spark.sql.shuffle.partitions": str(sp),
+        "spark.sql.files.minPartitionNum": "1",
+        "spark.sql.files.maxPartitionBytes": str(split_target),
+        "spark.sql.files.openCostInBytes": str(OPEN_COST_BYTES),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(shuffle_target),
+    }
