@@ -67,15 +67,29 @@ def _extract_batches(
     source replaces three ``np.repeat`` passes + three Arrow string
     columns per mention row with one — measurably less python CPU and
     JVM↔python transfer on the hot extraction stage."""
-    out_cols = (
-        ["subj", "pred", "obj", "_lineage"]
-        if packed
-        else [f.name for f in MENTIONS_SCHEMA.fields]
-    )
-    lineage_src = ["_lineage"] if packed else list(LINEAGE_COLS)
+    first = True
+    out_cols: list[str] = []
+    lineage_src: list[str] = []
     for pdf in batches:
         if pdf.empty:
             continue
+        if first:
+            # rank mode: the corpus rows carry a pre-computed lineage
+            # dictionary rank (pipeline.run_pipeline) — the shuffle then
+            # moves one int64 per mention instead of the ~110-byte
+            # repo/path/commit/sha string (the sha hex alone is 64
+            # chars), and min(rank) selects the identical
+            # lexicographically-first witness
+            rank_mode = packed and "_lrank" in pdf.columns
+            lineage_src = (
+                ["_lrank"] if rank_mode else ["_lineage"] if packed else list(LINEAGE_COLS)
+            )
+            out_cols = (
+                ["subj", "pred", "obj", *lineage_src]
+                if packed
+                else [f.name for f in MENTIONS_SCHEMA.fields]
+            )
+            first = False
         pdf = pdf.reset_index(drop=True)
         repo = pdf["repo"].to_numpy()
         lin = {
@@ -86,15 +100,18 @@ def _extract_batches(
             "content_sha256": pdf["content_sha256"].to_numpy(),
         }
         if packed:
-            lin["_lineage"] = (
-                pdf["repo"]
-                + "\x01"
-                + pdf["path"]
-                + "\x01"
-                + pdf["commit"]
-                + "\x01"
-                + pdf["content_sha256"]
-            ).to_numpy()
+            if "_lrank" in lineage_src:
+                lin["_lrank"] = pdf["_lrank"].to_numpy()
+            else:
+                lin["_lineage"] = (
+                    pdf["repo"]
+                    + "\x01"
+                    + pdf["path"]
+                    + "\x01"
+                    + pdf["commit"]
+                    + "\x01"
+                    + pdf["content_sha256"]
+                ).to_numpy()
         n = len(pdf)
         # per-output-column chunks, concatenated once per batch
         chunks: dict[str, list[np.ndarray]] = {c: [] for c in out_cols}
@@ -176,12 +193,17 @@ def extract_mentions(
 
         from pyspark.sql import types as T
 
+        rank_mode = "_lrank" in corpus.columns
         schema = T.StructType(
             [
                 T.StructField("subj", T.StringType(), False),
                 T.StructField("pred", T.StringType(), False),
                 T.StructField("obj", T.StringType(), False),
-                T.StructField("_lineage", T.StringType(), False),
+                (
+                    T.StructField("_lrank", T.LongType(), False)
+                    if rank_mode
+                    else T.StructField("_lineage", T.StringType(), False)
+                ),
             ]
         )
         return src.mapInPandas(

@@ -18,10 +18,54 @@ from pyspark.sql import functions as F
 from kgw_spark.model import node_type_from_id
 
 
-def build_edges(mentions: DataFrame) -> DataFrame:
+def build_edges(
+    mentions: DataFrame, lineage_dim: DataFrame | None = None
+) -> DataFrame:
     """Dedup (subj, pred, obj) keeping aggregated lineage as properties:
     n_mentions plus the lexicographically-first (repo, path, commit,
-    content_sha256) witness — deterministic regardless of partitioning."""
+    content_sha256) witness — deterministic regardless of partitioning.
+
+    ``lineage_dim``: the per-file dictionary (repo, path, commit,
+    content_sha256, _lrank) built by the pipeline when mentions carry
+    the int rank column ``_lrank`` instead of lineage strings. The
+    aggregation then shuffles one int64 per mention and the witness
+    strings are joined back AFTER the reduce via a broadcast of the
+    (small) dictionary — at 8M mentions this cut the shuffle's raw
+    payload ~3x (the sha hex alone is 64 bytes/row). ``row_number``
+    ranks are assigned in (repo, path, commit, sha) order, so
+    ``min(_lrank)`` selects the identical lexicographically-first
+    witness the string path selects."""
+    # n_mentions rides BOTH as a first-class column and inside the
+    # JSON property bag: downstream numeric consumers (build_nodes'
+    # endpoint counts, degree rollups) read the plain column, so
+    # their parquet scan prunes the wide JSON strings entirely and
+    # never pays a per-row JSON parse — at 8M edges that parse was
+    # ~40 s of pure CPU (the dominant, poorly-scaling cost of the
+    # nodes stage); at 100 TB it's the difference between scanning
+    # a 8-byte column and re-parsing the whole property payload.
+    if "_lrank" in mentions.columns:
+        if lineage_dim is None:
+            raise ValueError("mentions carry _lrank but no lineage_dim given")
+        agg = mentions.groupBy("subj", "pred", "obj").agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.min("_lrank").alias("_lrank"),
+        )
+        j = agg.join(F.broadcast(lineage_dim), "_lrank")
+        return j.select(
+            F.col("subj").alias("source_id"),
+            F.col("obj").alias("target_id"),
+            F.col("pred").alias("type"),
+            F.col("n_mentions"),
+            F.to_json(
+                F.struct(
+                    F.col("n_mentions"),
+                    F.col("repo"),
+                    F.col("path"),
+                    F.col("commit"),
+                    F.col("content_sha256"),
+                )
+            ).alias("properties"),
+        )
     # lineage witness as a single delimited string: min(string) stays in
     # whole-stage-codegen'd HashAggregate, whereas min(struct) falls back
     # to ObjectHashAggregate (measured ~2.4x slower at 18M rows). The
@@ -43,14 +87,6 @@ def build_edges(mentions: DataFrame) -> DataFrame:
         F.col("subj").alias("source_id"),
         F.col("obj").alias("target_id"),
         F.col("pred").alias("type"),
-        # n_mentions rides BOTH as a first-class column and inside the
-        # JSON property bag: downstream numeric consumers (build_nodes'
-        # endpoint counts, degree rollups) read the plain column, so
-        # their parquet scan prunes the wide JSON strings entirely and
-        # never pays a per-row JSON parse — at 8M edges that parse was
-        # ~40 s of pure CPU (the dominant, poorly-scaling cost of the
-        # nodes stage); at 100 TB it's the difference between scanning
-        # a 8-byte column and re-parsing the whole property payload.
         F.col("n_mentions"),
         F.to_json(
             F.struct(

@@ -26,6 +26,12 @@ from kgw_spark.operators.graph import build_edges, build_nodes
 from kgw_spark.operators.link import link_salted
 from kgw_spark.sinks.store import TableStore
 
+# corpus-size ceiling for the lineage-dictionary fast path (file count
+# tracks corpus bytes — ~2 KB/file floor puts 4 GB at ≲2 M files, a
+# few-hundred-MB broadcast at most; beyond it the packed-string path
+# runs, which has no broadcast and scales unbounded)
+LINEAGE_DICT_MAX_CORPUS_BYTES = 4 << 30
+
 
 @dataclass
 class PipelineResult:
@@ -88,11 +94,41 @@ def run_pipeline(
     # less python CPU and Arrow transfer; build_edges folds the four
     # lineage columns into exactly this key anyway). The materialized
     # mentions TABLE keeps its four-column contract.
+    #
+    # Lineage dictionary (fused path, size-gated): lineage is constant
+    # per FILE, so mention rows shuffle a 4-byte-ish rank instead of the
+    # ~110-byte repo/path/commit/sha string; ranks are assigned in
+    # (repo, path, commit, sha) order so min(rank) picks the identical
+    # lexicographically-first witness. Gated on Catalyst's corpus size
+    # estimate: the dictionary is broadcast twice (into the scan and
+    # back after the edge reduce), which only pays while the file
+    # population is broadcast-sized — a 100 TB corpus with ~100 M files
+    # falls back to the string path automatically.
+    lineage_dim = None
+    packed = not materialize_intermediate
+    if packed and not store.is_complete("edges", input_fingerprint):
+        from pyspark.sql import Window, functions as F
+        from kgw_spark.plans.hints import plan_size_bytes
+
+        if plan_size_bytes(corpus) <= LINEAGE_DICT_MAX_CORPUS_BYTES:
+            lcols = ["repo", "path", "commit", "content_sha256"]
+            # row_number over a global order: one tiny single-partition
+            # sort of the per-file projection (column-pruned scan — the
+            # content column is never read). At dictionary sizes past a
+            # single task, switch to a range-partitioned rank; the size
+            # gate keeps us well inside single-task territory here.
+            lineage_dim = (
+                corpus.select(*lcols)
+                .distinct()
+                .withColumn(
+                    "_lrank", F.row_number().over(Window.orderBy(*lcols))
+                )
+                .localCheckpoint(eager=True)
+            )
+            corpus = corpus.join(F.broadcast(lineage_dim), lcols)
     mentions = stage(
         "mentions",
-        lambda: extract_mentions(
-            corpus, packed_lineage=not materialize_intermediate
-        ),
+        lambda: extract_mentions(corpus, packed_lineage=packed),
         "pred",
     )
     if salted:
@@ -117,7 +153,10 @@ def run_pipeline(
             ),
             "pred",
         )
-    res.edges = stage("edges", lambda: build_edges(canonical), "type", final=True)
+    res.edges = stage(
+        "edges", lambda: build_edges(canonical, lineage_dim=lineage_dim),
+        "type", final=True,
+    )
     # nodes derive from the committed edges table — one chain
     # evaluation, and the read-back is a 3-column pruned scan (~0.1% of
     # the table thanks to the first-class n_mentions column), so it is

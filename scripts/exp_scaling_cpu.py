@@ -136,19 +136,18 @@ def main():
                     }
                 )
                 d = r.get("decomp") or {}
+                st = stage_cpu(spark)
+                jvm_cpu = sum(s.get("cpu_s", 0) for s in st)
+                top = " ".join(
+                    f"s{s['stage']}={s['cpu_s']}" for s in st[:4] if s.get("cpu_s")
+                )
                 print(
                     f"== {key} trial {t}: wall={r['wall_sec']} cpu={r.get('cpu_sec')} "
+                    f"jvm_stage_cpu={round(jvm_cpu, 1)} [{top}] "
                     f"serial={d.get('serial_sec')} gc={gc_time(spark)} "
                     f"load={round(os.getloadavg()[0], 1)}",
                     flush=True,
                 )
-                if t == trials - 1:
-                    print(
-                        json.dumps(
-                            {"stages_" + key: stage_cpu(spark)[:8]}, indent=1
-                        ),
-                        flush=True,
-                    )
     print("SUMMARY")
     for k, v in res.items():
         walls = [x["wall"] for x in v]

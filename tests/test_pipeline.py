@@ -222,3 +222,51 @@ def test_store_compact_finds_manifest_by_table_field(spark, tmp_path):
     assert store.read(spark, "tbl").count() == 30
     with pytest.raises(ValueError):
         store.compact(spark, "tbl", stage="nonexistent")
+
+
+def test_fused_lineage_dict_matches_materialized(spark, small_corpus, tmp_path):
+    """The fused pipeline's lineage-dictionary path (mentions shuffle an
+    int rank; witness strings join back post-reduce) must produce the
+    byte-identical edges table — including the min-witness property
+    bag — as the materialized string-min path."""
+    rows, truth = small_corpus
+    adf = alias_df_from_truth(spark, truth)
+    cdf = corpus_df(spark, rows)
+
+    fused = run_pipeline(
+        spark, cdf, adf, TableStore(str(tmp_path / "f")),
+        input_fingerprint="x", materialize_intermediate=False,
+    )
+    mat = run_pipeline(
+        spark, cdf, adf, TableStore(str(tmp_path / "m")),
+        input_fingerprint="x",
+    )
+    cols = ["source_id", "type", "target_id", "n_mentions", "properties"]
+    a = {tuple(r) for r in fused.edges.select(*cols).collect()}
+    b = {tuple(r) for r in mat.edges.select(*cols).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_fused_string_fallback_matches_dict(spark, small_corpus, tmp_path, monkeypatch):
+    """Forcing the corpus past the dictionary size gate exercises the
+    packed-string fallback; edges must be identical to the dictionary
+    path (the 100 TB-corpus degradation is a pure plan change)."""
+    import kgw_spark.plans.pipeline as P
+
+    rows, truth = small_corpus
+    adf = alias_df_from_truth(spark, truth)
+    cdf = corpus_df(spark, rows)
+
+    dict_res = run_pipeline(
+        spark, cdf, adf, TableStore(str(tmp_path / "d")),
+        input_fingerprint="x", materialize_intermediate=False,
+    )
+    monkeypatch.setattr(P, "LINEAGE_DICT_MAX_CORPUS_BYTES", 0)
+    str_res = run_pipeline(
+        spark, cdf, adf, TableStore(str(tmp_path / "s")),
+        input_fingerprint="x", materialize_intermediate=False,
+    )
+    cols = ["source_id", "type", "target_id", "n_mentions", "properties"]
+    a = {tuple(r) for r in dict_res.edges.select(*cols).collect()}
+    b = {tuple(r) for r in str_res.edges.select(*cols).collect()}
+    assert a == b and len(a) > 0
