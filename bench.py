@@ -249,6 +249,57 @@ def _pburn(n: int = 8, iters: int = _PBURN_ITERS) -> float:
     return round(time.time() - t0, 3)
 
 
+def _pin_cpu_burn(args):
+    cpu, iters = args
+    os.sched_setaffinity(0, {cpu})
+    t0 = time.time()
+    x = 0
+    for i in range(iters):
+        x += i & 7
+    return time.time() - t0
+
+
+def _pin_mem_burn(args):
+    cpu, mb, reps = args
+    os.sched_setaffinity(0, {cpu})
+    import numpy as np
+
+    a = np.arange(mb * 131072, dtype=np.float64)  # mb megabytes
+    t0 = time.time()
+    s = 0.0
+    for _ in range(reps):
+        s += float(a.sum())
+    return time.time() - t0
+
+
+def pinned_burn_calibration(
+    sizes=(2, 8), iters=12_000_000, mem_mb=256, mem_reps=12
+) -> dict:
+    """Per-proc wall for identical work at N pinned lanes (CPUs 0..N-1,
+    the same placement as the scaling legs) — the HOST's own scaling
+    ceiling. Two workloads bracket the engine: a cache-resident int
+    loop (pure compute: any inflation is hypervisor steal/frequency the
+    guest cannot see) and a streaming numpy sum (memory bandwidth).
+    If per-proc wall at 8 lanes is 1.12x the 2-lane wall for pure
+    arithmetic, then NO program — however perfectly it scales — can
+    measure better than 1/1.12 = 0.89 efficiency on this host, and the
+    engine's raw ratio should be read against that ceiling. Returns
+    mean per-proc wall per (workload, size)."""
+    import multiprocessing as mp
+
+    out = {"cpu": {}, "mem": {}}
+    for n in sizes:
+        with mp.Pool(n) as pool:
+            walls = pool.map(_pin_cpu_burn, [(c, iters) for c in range(n)])
+        out["cpu"][str(n)] = round(sum(walls) / len(walls), 3)
+        with mp.Pool(n) as pool:
+            walls = pool.map(
+                _pin_mem_burn, [(c, mem_mb, mem_reps) for c in range(n)]
+            )
+        out["mem"][str(n)] = round(sum(walls) / len(walls), 3)
+    return out
+
+
 def cpu_probe(sizes=(2, 4, 8, 16, 32), burn_iters=2_000_000) -> dict:
     """Host-capacity evidence recorded per run: aggregate pure-Python
     throughput at N concurrent processes. On a dedicated 32-core box the
@@ -597,6 +648,7 @@ def main():
         cpus_used: dict[int, list[float]] = {c: [] for c in sizes}
         shuffles: dict[int, dict | None] = {}
         round_probes: list[list[float]] = []
+        burn_cals: list[dict] = []
 
         def _cert_rounds() -> list[int]:
             """Rounds where (a) every boundary capacity probe and (b)
@@ -681,6 +733,10 @@ def main():
                     shuffles[cores] = shuffle_metrics(s)
                 probes.append(_pburn(n_big_probe))
             round_probes.append(probes)
+            # host-ceiling calibration, weather-matched to this round:
+            # identical pinned pure-compute and memory-bandwidth burns
+            # at both leg sizes (see pinned_burn_calibration)
+            burn_cals.append(pinned_burn_calibration(tuple(sizes[:1] + sizes[-1:])))
             t += 1
         trials = t
         head_probes: list[float] = []
@@ -760,6 +816,43 @@ def main():
         reports = {f"{a}->{b}": pair_report(a, b) for a, b in pairs}
         head_key = max(reports, key=lambda k: reports[k]["efficiency"])
         head = reports[head_key]
+        # host-ceiling calibration summary: per-proc pinned-burn wall
+        # inflation small->big, cleanest window (min wall per size over
+        # rounds). 1/inflation is the best efficiency ANY program can
+        # measure on this host at these sizes; the normalized numbers
+        # read the engine against that ceiling.
+        host_cal: dict = {}
+        if burn_cals:
+            a, b = str(sizes[0]), str(sizes[-1])
+            cal_min = {
+                w: {
+                    s: min(c[w][s] for c in burn_cals if s in c[w])
+                    for s in (a, b)
+                }
+                for w in ("cpu", "mem")
+            }
+            infl = {
+                w: round(cal_min[w][b] / cal_min[w][a], 3) for w in ("cpu", "mem")
+            }
+            host_cal = {
+                "per_round": burn_cals,
+                "per_proc_wall_min": cal_min,
+                "inflation": infl,
+                # clamped at 1.0: a noisy window can read inflation < 1
+                # (the calibration may fall in better weather than the
+                # legs); the ceiling never inflates the engine's number
+                "ceiling_eff": {
+                    w: min(1.0, round(1.0 / infl[w], 3)) for w in ("cpu", "mem")
+                },
+                "note": (
+                    "identical pinned per-proc work at both leg sizes; "
+                    "wall inflation on the PURE COMPUTE burn is "
+                    "hypervisor steal/frequency the guest cannot "
+                    "observe, the MEM burn adds memory-bandwidth "
+                    "contention — together they bound what any "
+                    "perfectly-scaling program could measure here"
+                ),
+            }
         # headline = peak end-to-end throughput observed across sizes
         kg_head = max(best.values(), key=lambda r: r["triples_per_sec"])
         detail["scaling"] = {
@@ -792,6 +885,19 @@ def main():
             },
             "shuffle_metrics_per_size": {str(c): m for c, m in shuffles.items()},
             "host_cpu_probe": probe,
+            "host_calibration": host_cal,
+            "efficiency_normalized": (
+                round(head["efficiency"] / host_cal["ceiling_eff"]["cpu"], 3)
+                if host_cal
+                else None
+            ),
+            "efficiency_median_normalized": (
+                round(
+                    head["efficiency_median"] / host_cal["ceiling_eff"]["cpu"], 3
+                )
+                if host_cal
+                else None
+            ),
             "round_pburn_walls": round_probes,
             "headline_pburn_walls": head_probes,
             "pburn_procs": n_big_probe,
@@ -822,6 +928,14 @@ def main():
             "eff_med": head["efficiency_median"],
             "eff_pmed": head["efficiency_paired_median"],
             "eff_cert": head["efficiency_certified_median"],
+            # host ceiling (pinned identical-work burns at both sizes)
+            # and the engine read against it — see host_calibration
+            "host_ceiling": host_cal.get("ceiling_eff") if host_cal else None,
+            "eff_norm": (
+                round(head["efficiency"] / host_cal["ceiling_eff"]["cpu"], 3)
+                if host_cal
+                else None
+            ),
             "n_cert": len(cert_idx),
             "trials": trials,
             "tps_small": head["triples_per_sec_small"],
