@@ -273,7 +273,7 @@ def _pin_mem_burn(args):
 
 
 def pinned_burn_calibration(
-    sizes=(2, 8), iters=12_000_000, mem_mb=256, mem_reps=12
+    sizes=(2, 8), iters=48_000_000, mem_mb=256, mem_reps=40
 ) -> dict:
     """Per-proc wall for identical work at N pinned lanes (CPUs 0..N-1,
     the same placement as the scaling legs) — the HOST's own scaling
@@ -824,19 +824,19 @@ def main():
         host_cal: dict = {}
         if burn_cals:
             a, b = str(sizes[0]), str(sizes[-1])
-            cal_min = {
-                w: {
-                    s: min(c[w][s] for c in burn_cals if s in c[w])
-                    for s in (a, b)
-                }
+            # inflation is PAIRED per round (both sizes burned seconds
+            # apart, same weather) and summarized by the median — a
+            # min-per-size-across-rounds pairing would compare
+            # different weather windows, the exact failure mode the
+            # legs' paired statistics exist to avoid
+            per_round_infl = {
+                w: [round(c[w][b] / c[w][a], 3) for c in burn_cals]
                 for w in ("cpu", "mem")
             }
-            infl = {
-                w: round(cal_min[w][b] / cal_min[w][a], 3) for w in ("cpu", "mem")
-            }
+            infl = {w: _median(per_round_infl[w]) for w in ("cpu", "mem")}
             host_cal = {
                 "per_round": burn_cals,
-                "per_proc_wall_min": cal_min,
+                "per_round_inflation": per_round_infl,
                 "inflation": infl,
                 # clamped at 1.0: a noisy window can read inflation < 1
                 # (the calibration may fall in better weather than the
@@ -895,6 +895,14 @@ def main():
                 round(
                     head["efficiency_median"] / host_cal["ceiling_eff"]["cpu"], 3
                 )
+                if host_cal
+                else None
+            ),
+            # the engine's hot loops are memory-streaming (shuffle,
+            # string agg, parquet encode); the mem ceiling is the
+            # closer bound, reported alongside the conservative one
+            "efficiency_normalized_mem": (
+                round(head["efficiency"] / host_cal["ceiling_eff"]["mem"], 3)
                 if host_cal
                 else None
             ),
