@@ -34,7 +34,13 @@ import os
 # the cores-coupled default on wall AND consumed CPU at 8/32 lanes)
 SPLIT_TARGET_BYTES = 4 * 1024 * 1024
 OPEN_COST_BYTES = 1024 * 1024
-SHUFFLE_TARGET_BYTES = 16 * 1024 * 1024
+# 8 MB shuffle partitions measured strictly better than 16 MB on the KG
+# pipeline at every lane count (3 interleaved reps, sf0.1 corpus):
+# 8-lane consumed-CPU floor 94.7 vs 106.7 CPU-s, best 32-lane wall 9.0 vs
+# 10.3 s, and paired 2->8 efficiency 0.76/0.80/0.80 vs 0.68/0.70/0.74 —
+# smaller reduce partitions cut per-task memory pressure on this host and
+# give the 8-lane leg two even waves instead of one straggler-bound wave.
+SHUFFLE_TARGET_BYTES = 8 * 1024 * 1024
 # shuffled bytes per input byte for the KG pipeline (mention rows are
 # wider than their compressed source); measured 152 MB / 71 MB ≈ 2.2
 SHUFFLE_AMPLIFICATION = 2.2
