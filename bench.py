@@ -1051,8 +1051,14 @@ def main():
             },
         }
         if len(reports) > 1:
+            # best-of AND paired-median per pair so the one-line record
+            # shows every pair cleared the target, not just the headline
             scaling_brief["all_pairs"] = {
-                k: v["efficiency"] for k, v in reports.items()
+                k: {
+                    "eff": v["efficiency"],
+                    "pmed": v["efficiency_paired_median"],
+                }
+                for k, v in reports.items()
             }
 
         if SCALEUP_MULT > 1:
