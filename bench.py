@@ -742,9 +742,18 @@ def main():
                     best_cert = max(best_cert, _median(cpe))
             return best_cert, best_med
 
+        # wall budget for ADAPTIVE extension only (the base `trials`
+        # rounds always run): extra rounds improve the record, but an
+        # unbounded storm-chasing loop must not run the whole bench
+        # into a harness timeout — a bounded record beats no record
+        scale_t0 = time.time()
+        scale_budget = float(
+            os.environ.get("SPARK_GRAFT_SCALING_WALL_BUDGET", "2700")
+        )
         t = 0
         while t < trials or (
             t < max_trials
+            and time.time() - scale_t0 < scale_budget
             and (
                 len(_cert_rounds()) < 2
                 # the certified AND overall paired medians are headline
