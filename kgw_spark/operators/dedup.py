@@ -195,7 +195,15 @@ def winnow_fingerprints(
     # winnowing still keeps min(h) over ALL their grams as the single
     # fingerprint (pos 0's window covers every gram then), so short
     # docs remain matchable (ADVICE r4 #4)
-    n_grams = Window.partitionBy(id_col)
+    # same partitioning AND ordering as `win` with an unbounded frame:
+    # the per-partition count is frame-independent, but sharing the
+    # (partition, order) spec lets Catalyst evaluate both window
+    # functions in ONE Window operator — one shuffle+sort of the
+    # shingle table instead of two (it is the largest intermediate in
+    # the query)
+    n_grams = Window.partitionBy(id_col).orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     fp = (
         sh.withColumn("_min", F.min("h").over(win))
         .withColumn("_total", F.count(F.lit(1)).over(n_grams))
