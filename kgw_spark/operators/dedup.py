@@ -101,6 +101,13 @@ def ngram_jaccard_pairs(
     stop-shingle-only overlaps. Pass ``None`` explicitly for exact
     semantics when the corpus is known small (the oracle/test path).
     """
+    # NOTE: deliberately NOT persisted — measured A/B at sf0.1/32
+    # lanes: caching the wide (id, shingle-string) table costs more in
+    # memory bandwidth than the codegen-fused recompute saves (persist
+    # 3.5-3.9s vs recompute 3.2-3.8s warm), the same result as the
+    # r5 edges-stage persist revert; minhash_lsh_pairs persists its
+    # shingles because the verify phase re-reads them per candidate,
+    # a different access pattern
     sh = shingles(docs, n, id_col, text_col)
     # sizes BEFORE any df-filtering: the Jaccard denominator is over
     # full shingle sets
@@ -124,7 +131,7 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("a"), F.col("_size").alias("size_a"))
     sb = sizes.select(F.col(id_col).alias("b"), F.col("_size").alias("size_b"))
-    return (
+    out = (
         common.join(sa, "a")
         .join(sb, "b")
         .withColumn(
@@ -138,6 +145,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -232,21 +240,28 @@ def winnow_pairs(
     same way ngram_jaccard_pairs' shingle cap does (boilerplate
     fingerprints in >cap docs are dropped before the quadratic join,
     with the same documented trade-off)."""
-    fp = winnow_fingerprints(docs, k, w, id_col, text_col)
-    per_fp = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("_df"))
+    # the fingerprint table feeds three plan references (df counts +
+    # both self-join sides); without a persist each re-runs the
+    # shingle explode + window-min pass — same discipline as
+    # minhash_lsh_pairs/ngram_jaccard_pairs, released after the
+    # result checkpoint below
+    fp0 = winnow_fingerprints(docs, k, w, id_col, text_col).persist()
+    per_fp = fp0.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("_df"))
     keep = per_fp.filter(F.col("_df") >= 2)
     if max_fp_df is not None:
         keep = keep.filter(F.col("_df") <= max_fp_df)
-    fp = fp.join(keep.select("fingerprint"), "fingerprint")
+    fp = fp0.join(keep.select("fingerprint"), "fingerprint")
     a = fp.select(F.col(id_col).alias("a"), "fingerprint")
     b = fp.select(F.col(id_col).alias("b"), "fingerprint")
-    return (
+    out = (
         a.join(b, "fingerprint")
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
-    )
+    ).localCheckpoint(eager=True)
+    fp0.unpersist()
+    return out
 
 
 def ngram_containment(
