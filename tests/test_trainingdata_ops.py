@@ -590,3 +590,78 @@ def test_winnow_guarantee_and_pairs(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] >= 2  # long shared run found
     assert all(4 not in p for p in pairs)  # unrelated doc pairs with nobody
+
+
+def test_expr_builders_match_python_at_nondefault_params(spark, docs):
+    """The minhash/simhash aggregates are built as single parsed SQL
+    strings (not py4j Column trees); pin their arithmetic — permutation
+    mins, per-bit ±1 sums, the OR fold — against an independent Python
+    replica at NON-default parameters (num_perm=8/bands=4, bits=32) so
+    literal-typing or operator-precedence drift in the generated text
+    fails on values, not only on the default-path driver fixtures."""
+    sample = docs.filter("doc_id < 40")
+
+    # --- minhash: replicate from Spark-side shingle hashes ---
+    sh = dedup.shingles(sample, n=2)
+    hashed = sh.select(
+        "doc_id",
+        (F.abs(F.xxhash64("shingle")) % F.lit(dedup._MERSENNE)).alias("h"),
+    ).collect()
+    coeffs = dedup._perm_coeffs(8, seed=11)
+    expect: dict[int, list[int]] = {}
+    for r in hashed:
+        sig = expect.setdefault(r.doc_id, [dedup._MERSENNE] * 8)
+        for i, (a, b) in enumerate(coeffs):
+            v = (r.h * a + b) % dedup._MERSENNE
+            if v < sig[i]:
+                sig[i] = v
+    got = {
+        r.doc_id: list(r.sig)
+        for r in dedup._signatures_from_shingles(
+            dedup.shingles(sample, n=2), num_perm=8, seed=11, id_col="doc_id"
+        ).collect()
+    }
+    assert got == expect
+
+    # --- simhash at bits=32: replicate sums and fold from token hashes ---
+    tok_hashes = (
+        sample.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+        )
+        .select("doc_id", F.xxhash64("tok").alias("h"))
+        .collect()
+    )
+    sums: dict[int, list[int]] = {}
+    for r in tok_hashes:
+        s = sums.setdefault(r.doc_id, [0] * 32)
+        for i in range(32):
+            s[i] += 1 if (r.h & (1 << i)) != 0 else -1
+    expect_fp = {
+        d: sum((1 << i) for i in range(32) if s[i] > 0) for d, s in sums.items()
+    }
+    got_fp = {
+        r.doc_id: r.simhash for r in dedup.simhash(sample, bits=32).collect()
+    }
+    assert got_fp == expect_fp
+
+    # --- hyperplane bucket expr: exact double fold vs Python sum ---
+    emb_df = spark.read.parquet(f"{SF}/embeddings.parquet").filter("vec_id < 30")
+    planes = similarity._planes(
+        len(emb_df.first().embedding), n_planes=5, seed=3
+    )
+    got_b = {
+        r.vec_id: r.b
+        for r in emb_df.select(
+            "vec_id", similarity._bucket_expr("embedding", planes).alias("b")
+        ).collect()
+    }
+    for r in emb_df.collect():
+        sig = 0
+        for i, p in enumerate(planes):
+            acc = 0.0
+            for x, y in zip([float(v) for v in r.embedding], p):
+                acc += x * y
+            if acc >= 0:
+                sig |= 1 << i
+        assert got_b[r.vec_id] == sig
