@@ -665,3 +665,84 @@ def test_expr_builders_match_python_at_nondefault_params(spark, docs):
             if acc >= 0:
                 sig |= 1 << i
         assert got_b[r.vec_id] == sig
+
+
+def test_asof_join_hand_cases(spark):
+    """Backward inclusive as-of: equal-time right rows match (inclusive
+    boundary), equal right times break toward max tie_col, keys with no
+    earlier right row get NULLs, and later right rows never leak."""
+    from kgw_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            ("u1", 10, "a"),   # right at 5 and 10 -> inclusive pick t=10
+            ("u1", 4, "b"),    # only right t<=4 is none -> NULL
+            ("u2", 7, "c"),    # rights at 7,7 (tie) -> max rid wins
+            ("u3", 9, "d"),    # no right rows at all -> NULL
+        ],
+        "uid string, t long, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", 5, 100, 1.0),
+            ("u1", 10, 101, 2.0),
+            ("u1", 11, 102, 3.0),  # future: never matched
+            ("u2", 7, 200, 4.0),
+            ("u2", 7, 201, 5.0),   # same ts: tie -> 201
+        ],
+        "uid string, t long, rid long, v double",
+    )
+    out = {
+        (r.uid, r.t): (r.asof_rid, r.asof_v)
+        for r in asof_join(
+            left, right, ["uid"], "t", "t", ["rid", "v"], tie_col="rid"
+        ).collect()
+    }
+    assert out[("u1", 10)] == (101, 2.0)
+    assert out[("u1", 4)] == (None, None)
+    assert out[("u2", 7)] == (201, 5.0)
+    assert out[("u3", 9)] == (None, None)
+    # left row count preserved (left-join semantics)
+    assert len(out) == 4
+
+
+def test_asof_join_matches_sql_window_oracle(spark, docs):
+    """events self-as-of (error -> latest prior click per user) equals
+    the quadratic row_number() SQL formulation on the driver testdata."""
+    from kgw_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    errors = ev.filter("event_type = 'error'").select("event_id", "user_id", "ts")
+    clicks = ev.filter("event_type = 'click'").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("cid")
+    )
+    got = asof_join(
+        errors, clicks, ["user_id"], "ts", "cts", ["cid", "cts"], tie_col="cid"
+    )
+    import duckdb
+
+    exp = duckdb.sql(
+        f"""
+        WITH e AS (SELECT * FROM '{SF}/events.parquet'),
+        j AS (
+          SELECT l.event_id, l.user_id, l.ts, c.event_id AS asof_cid,
+                 c.ts AS asof_cts,
+                 row_number() OVER (PARTITION BY l.event_id
+                   ORDER BY c.ts DESC, c.event_id DESC) AS rn
+          FROM e l LEFT JOIN e c
+            ON c.user_id = l.user_id AND c.event_type = 'click'
+               AND c.ts <= l.ts
+          WHERE l.event_type = 'error')
+        SELECT event_id, user_id, ts, asof_cid, asof_cts FROM j WHERE rn = 1
+        """
+    ).df()
+    g = {
+        r.event_id: (r.asof_cid, r.asof_cts) for r in got.collect()
+    }
+    assert len(g) == len(exp)
+    for _, r in exp.iterrows():
+        gc, gt = g[r.event_id]
+        # NaN marks DuckDB's NULL for the no-prior-click rows
+        assert gc == (None if r.asof_cid != r.asof_cid else int(r.asof_cid))
+        if gc is not None:
+            assert gt == r.asof_cts.to_pydatetime()
