@@ -91,3 +91,61 @@ def asof_join(
         *[F.col(f"_lrow.{c}").alias(c) for c in lt],
         *[F.col(f"_match.{c}").alias(f"asof_{c}") for c in payload_cols],
     )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_time: str,
+    right_time: str,
+    lower: int,
+    upper: int,
+) -> DataFrame:
+    """Banded interval join: all (left, right) pairs sharing
+    ``key_cols`` with ``right_time ∈ [left_time + lower, left_time +
+    upper]`` (times are integer instants, e.g. epoch micros; ``lower``
+    may be negative, ``upper > lower``).
+
+    The naive non-equi join is a per-key cross product. Scale shape:
+    bucket time at width ``upper - lower`` — every qualifying right row
+    lands in one of the ≤ 2 consecutive buckets covering the left
+    row's window, so the left side emits at most two (key, bucket)
+    probes (usually distinct-folded to fewer), the right side exactly
+    one, and the equi-join on (key, bucket) bounds candidates to ~2×
+    the true matches before the exact BETWEEN filter. Same pigeonhole
+    discipline as the SimHash chunk join and the Hamming-ball probes.
+    Floor division is implemented exactly for negative instants via
+    ``(x - pmod(x, w)) div w``.
+    """
+    if upper <= lower:
+        raise ValueError(f"range_join needs upper > lower, got [{lower}, {upper}]")
+    w = upper - lower
+
+    def _bucket(expr: str) -> str:
+        return f"(({expr}) - pmod({expr}, {w})) div {w}"
+
+    keys = [F.col(c).alias(f"_k{i}") for i, c in enumerate(key_cols)]
+    l_u = left.select(
+        *keys,
+        F.struct(*left.columns).alias("_l"),
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.expr(_bucket(f"{left_time} + {lower}")),
+                    F.expr(_bucket(f"{left_time} + {upper}")),
+                )
+            )
+        ).alias("_b"),
+    )
+    r_u = right.select(
+        *keys,
+        F.struct(*right.columns).alias("_r"),
+        F.expr(_bucket(right_time)).alias("_b"),
+    )
+    joined = l_u.join(r_u, [f"_k{i}" for i in range(len(key_cols))] + ["_b"])
+    rt = F.col(f"_r.{right_time}")
+    lt_ = F.col(f"_l.{left_time}")
+    return joined.filter(
+        (rt >= lt_ + F.lit(lower)) & (rt <= lt_ + F.lit(upper))
+    ).select("_l.*", *[F.col(f"_r.{c}").alias(f"r_{c}") for c in right.columns])

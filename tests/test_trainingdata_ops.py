@@ -746,3 +746,40 @@ def test_asof_join_matches_sql_window_oracle(spark, docs):
         assert gc == (None if r.asof_cid != r.asof_cid else int(r.asof_cid))
         if gc is not None:
             assert gt == r.asof_cts.to_pydatetime()
+
+
+def test_range_join_hand_cases(spark):
+    """Banded interval join: inclusive at both window ends, bucket-edge
+    instants covered, no duplicate pairs when the two probe buckets
+    coincide, negative lower bound."""
+    from kgw_spark.operators.asof import range_join
+
+    left = spark.createDataFrame(
+        [("u1", 1000, "L1"), ("u2", 50, "L2")],
+        "uid string, t long, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", 900, "A"),    # in [t-100, t] exactly at lower edge
+            ("u1", 1000, "B"),   # upper edge (equal time)
+            ("u1", 899, "C"),    # one below the window
+            ("u1", 1001, "D"),   # one above the window
+            ("u2", 45, "E"),     # in window despite tiny instants
+        ],
+        "uid string, t long, r string",
+    )
+    out = sorted(
+        (r.tag, r.r_r)
+        for r in range_join(
+            left, right, ["uid"], "t", "t", lower=-100, upper=0
+        ).collect()
+    )
+    assert out == [("L1", "A"), ("L1", "B"), ("L2", "E")]
+    # duplicate-probe guard: window exactly bucket-aligned, right row
+    # qualifying via the shared bucket must appear once
+    left2 = spark.createDataFrame([("u", 200, "L")], "uid string, t long, tag string")
+    right2 = spark.createDataFrame([("u", 150, "X")], "uid string, t long, r string")
+    rows = range_join(left2, right2, ["uid"], "t", "t", -100, 0).collect()
+    assert len(rows) == 1
+    with pytest.raises(ValueError):
+        range_join(left, right, ["uid"], "t", "t", 5, 5)
