@@ -48,3 +48,49 @@ def lcg_bucket_sql(key_expr: str, buckets: int = 100, salt: int = 0) -> str:
         f"((((CAST({key_expr} AS BIGINT) * {_LCG_A} + {_LCG_C + salt})"
         f" % {_LCG_M}) + {_LCG_M}) % {_LCG_M}) % {buckets}"
     )
+
+
+def lcg_u31(key: Column, salt: int = 0) -> Column:
+    """Deterministic hash in [0, 2^31) from an integral key — the
+    uniform variate behind per-row (rather than global-rate)
+    sampling decisions. Same overflow/negative-key discipline as
+    :func:`lcg_bucket`."""
+    x = key.cast("long") * F.lit(_LCG_A) + F.lit(_LCG_C + salt)
+    return (x % F.lit(_LCG_M) + F.lit(_LCG_M)) % F.lit(_LCG_M)
+
+
+def lcg_u31_sql(key_expr: str, salt: int = 0) -> str:
+    """The identical [0, 2^31) hash as ANSI SQL (the oracle twin)."""
+    return (
+        f"((((CAST({key_expr} AS BIGINT) * {_LCG_A} + {_LCG_C + salt})"
+        f" % {_LCG_M}) + {_LCG_M}) % {_LCG_M})"
+    )
+
+
+def weighted_sample(
+    df: DataFrame, key_col: str, weight: Column, salt: int = 0
+) -> DataFrame:
+    """Weighted Bernoulli sampling: keep each row with probability
+    equal to its ``weight`` (clamped to [0, 1]), deterministically by
+    key — the corpus-mixing primitive (quality- or length-proportional
+    inclusion) of training-data pipelines. A row kept at weight w stays
+    kept at any w' >= w (nested samples), so mixing rates can be tuned
+    without churning the split.
+
+    Exactly value-oracle-able: the decision is ``lcg_u31(key) <
+    floor(weight * 2^31)`` — one IEEE multiply + floor, no
+    transcendentals, so Spark and any ANSI engine agree bit-for-bit.
+    At 100 TB this is a narrow scan + filter, no shuffle.
+    """
+    w = F.least(F.lit(1.0), F.greatest(F.lit(0.0), weight))
+    thresh = F.floor(w * F.lit(float(_LCG_M)))
+    return df.filter(lcg_u31(F.col(key_col), salt) < thresh)
+
+
+def weighted_sample_sql(key_expr: str, weight_expr: str, salt: int = 0) -> str:
+    """The identical keep-decision as an ANSI SQL boolean expression."""
+    w = f"LEAST(1.0, GREATEST(0.0, {weight_expr}))"
+    return (
+        f"{lcg_u31_sql(key_expr, salt)}"
+        f" < CAST(FLOOR({w} * {float(_LCG_M)}) AS BIGINT)"
+    )

@@ -783,3 +783,33 @@ def test_range_join_hand_cases(spark):
     assert len(rows) == 1
     with pytest.raises(ValueError):
         range_join(left, right, ["uid"], "t", "t", 5, 5)
+
+
+def test_weighted_sample_properties(spark):
+    """Weighted Bernoulli sampling: weight 0 keeps nothing, weight >= 1
+    keeps everything, samples are NESTED in the weight (a row kept at w
+    stays kept at any w' >= w), decisions are deterministic by key, and
+    the Spark decision agrees with the generated SQL twin row-for-row."""
+    from kgw_spark.operators.sampling import weighted_sample, weighted_sample_sql
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") % 7).cast("double").alias("m")
+    )
+    assert weighted_sample(df, "k", F.lit(0.0)).count() == 0
+    assert weighted_sample(df, "k", F.lit(1.0)).count() == 500
+    assert weighted_sample(df, "k", F.lit(2.5)).count() == 500  # clamped
+    kept_30 = {r.k for r in weighted_sample(df, "k", F.lit(0.3)).collect()}
+    kept_60 = {r.k for r in weighted_sample(df, "k", F.lit(0.6)).collect()}
+    assert kept_30 <= kept_60                      # nested
+    assert kept_30 == {                            # deterministic
+        r.k for r in weighted_sample(df, "k", F.lit(0.3)).collect()
+    }
+    assert 0 < len(kept_30) < len(kept_60) < 500   # non-degenerate
+    # per-row weights, Spark vs the SQL twin on the identical frame
+    w = F.col("m") / F.lit(5.0)
+    got = {r.k for r in weighted_sample(df, "k", w).collect()}
+    df.createOrReplaceTempView("wsrc")
+    sql = spark.sql(
+        f"SELECT k FROM wsrc WHERE {weighted_sample_sql('k', 'm / 5.0')}"
+    )
+    assert got == {r.k for r in sql.collect()}
