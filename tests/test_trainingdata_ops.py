@@ -813,3 +813,39 @@ def test_weighted_sample_properties(spark):
         f"SELECT k FROM wsrc WHERE {weighted_sample_sql('k', 'm / 5.0')}"
     )
     assert got == {r.k for r in sql.collect()}
+
+
+@pytest.mark.parametrize(
+    "lower,upper",
+    [(-100, 0), (0, 100), (-50, 50), (10, 60), (-60, -10), (0, 1)],
+)
+def test_range_join_matches_bruteforce(spark, lower, upper):
+    """range_join == brute-force quadratic filter on seeded random data
+    with negative instants, duplicate timestamps, and windows entirely
+    below / above / spanning zero (exercises the exact floor-division
+    bucketing for negative times at every window placement)."""
+    import random
+
+    from kgw_spark.operators.asof import range_join
+
+    rng = random.Random(42 + upper - lower)
+    keys = ["a", "b", "c"]
+    lrows = [
+        (rng.choice(keys), rng.randint(-300, 300), i) for i in range(120)
+    ]
+    rrows = [
+        (rng.choice(keys), rng.randint(-300, 300), i) for i in range(120)
+    ]
+    expected = sorted(
+        (li, ri)
+        for lk, lt, li in lrows
+        for rk, rt, ri in rrows
+        if lk == rk and lt + lower <= rt <= lt + upper
+    )
+    left = spark.createDataFrame(lrows, "k string, t long, lid int")
+    right = spark.createDataFrame(rrows, "k string, t long, rid int")
+    got = sorted(
+        (r.lid, r.r_rid)
+        for r in range_join(left, right, ["k"], "t", "t", lower, upper).collect()
+    )
+    assert got == expected
