@@ -285,3 +285,15 @@ def test_k_hop_frontier_joins_are_broadcast(spark):
     # the visited union assembled from checkpointed per-level
     # frontiers: scans, not shuffles
     assert "Exchange hashpartitioning" not in p
+
+
+def test_temporal_joins_have_no_nested_loop(spark):
+    """The as-of and banded-range temporal join entries must compile to
+    pure equi-join plans — no cartesian/nested-loop operator anywhere
+    (the naive formulations of both are per-key range cross products)."""
+    import __spark_entry__ as E
+
+    for name in ("events_asof_click", "events_range_pairs"):
+        p = plan(E.queries()[name](spark, SF))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
