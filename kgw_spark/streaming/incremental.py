@@ -275,3 +275,49 @@ def sessionize_batch_oracle(events_pdf, gap_sec: int = 1800):
         )
         for u, s, e, n in out
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower_sec: int = -7200,
+    upper_sec: int = 0,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: all (left, right) pairs
+    sharing ``key_cols`` with ``right_ts`` in ``[left_ts + lower_sec,
+    left_ts + upper_sec]`` — the streaming twin of the batch
+    ``operators.asof.range_join`` (same pair semantics, proven
+    equivalent by test). Right-side columns come back prefixed ``r_``.
+
+    Scale shape: both sides are watermarked and the join condition
+    bounds the two event times against each other, which is exactly
+    what Structured Streaming needs to EVICT buffered rows — state per
+    side is arrival-rate × (watermark + window width), not unbounded.
+    Works on batch frames too (watermark is a no-op there), which is
+    how the stream==batch test closes the loop.
+    """
+    from pyspark.sql import functions as F
+
+    if upper_sec <= lower_sec:
+        raise ValueError(
+            f"stream_interval_join needs upper > lower, got [{lower_sec}, {upper_sec}]"
+        )
+    l2 = left.withColumn(left_ts, F.col(left_ts).cast("timestamp"))
+    r2 = right.select([F.col(c).alias(f"r_{c}") for c in right.columns]).withColumn(
+        f"r_{right_ts}", F.col(f"r_{right_ts}").cast("timestamp")
+    )
+    if left.isStreaming or right.isStreaming:
+        l2 = l2.withWatermark(left_ts, watermark_delay)
+        r2 = r2.withWatermark(f"r_{right_ts}", watermark_delay)
+    rt, lt = F.col(f"r_{right_ts}"), F.col(left_ts)
+    cond = (
+        (rt >= lt + F.expr(f"INTERVAL {lower_sec} SECOND"))
+        & (rt <= lt + F.expr(f"INTERVAL {upper_sec} SECOND"))
+    )
+    for k in key_cols:
+        cond = cond & (F.col(k) == F.col(f"r_{k}"))
+    return l2.join(r2, cond, "inner")

@@ -227,3 +227,63 @@ def test_stream_dedup_exact_matches_batch(spark, tmp_path):
     }
     assert got.count() == 30  # 20 + 10 new; the 10 re-arrivals dropped
     assert {r["text_sha256"] for r in got.collect()} == expected_hashes
+
+
+def test_stream_interval_join_matches_batch_and_range_join(spark, tmp_path):
+    """Stream-stream interval join == the same function on batch frames
+    == the INDEPENDENT batch range_join (banded equi-join) on epoch
+    micros: three implementations, one pair set."""
+    from pyspark.sql import functions as F
+
+    from kgw_spark.operators.asof import range_join
+    from kgw_spark.streaming.incremental import stream_interval_join
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    errors = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+
+    def pairset(df, lcol, rcol):
+        return {(r[lcol], r[rcol]) for r in df.collect()}
+
+    batch = pairset(
+        stream_interval_join(errors, clicks, ["user_id"], lower_sec=-7200),
+        "event_id",
+        "r_event_id",
+    )
+
+    # independent implementation: banded equi-join on integer micros
+    tus = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '2020-01-01 00:00:00', ts)"
+    )
+    e2 = errors.select(F.col("event_id").alias("lid"), "user_id", tus.alias("t"))
+    c2 = clicks.select(F.col("event_id").alias("rid"), "user_id", tus.alias("t"))
+    banded = pairset(
+        range_join(e2, c2, ["user_id"], "t", "t", -7200 * 1_000_000, 0),
+        "lid",
+        "r_rid",
+    )
+    assert batch == banded and batch
+
+    # streaming run over parquet drops of both sides
+    ldrop, rdrop = str(tmp_path / "ldrop"), str(tmp_path / "rdrop")
+    errors.coalesce(2).write.mode("overwrite").parquet(ldrop)
+    clicks.coalesce(2).write.mode("overwrite").parquet(rdrop)
+    ls = spark.readStream.schema(errors.schema).parquet(ldrop)
+    rs = spark.readStream.schema(clicks.schema).parquet(rdrop)
+    out = str(tmp_path / "ijout")
+    q = (
+        stream_interval_join(ls, rs, ["user_id"], lower_sec=-7200)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ijckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = pairset(spark.read.parquet(out), "event_id", "r_event_id")
+    assert got == batch
