@@ -94,3 +94,86 @@ def weighted_sample_sql(key_expr: str, weight_expr: str, salt: int = 0) -> str:
         f"{lcg_u31_sql(key_expr, salt)}"
         f" < CAST(FLOOR({w} * {float(_LCG_M)}) AS BIGINT)"
     )
+
+
+def stratified_topk(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    k: int,
+    salt: int = 0,
+    prune_margin: int = 8,
+) -> DataFrame:
+    """Deterministic stratified sample: the ``k`` rows of each stratum
+    with the smallest LCG hash (ties broken by key) — balanced
+    eval-split / per-language quota construction, a pure function of
+    the keys so the same rows are picked on every run and cluster.
+
+    Semantics (and the oracle twin): ``row_number() OVER (PARTITION BY
+    stratum ORDER BY lcg_u31(key), key) <= k``. The naive plan sorts
+    EVERY row of every stratum; at 10^10 rows per stratum that window
+    sort is the bottleneck. Scale shape: because the hash is uniform,
+    the k-th smallest hash of an n-row stratum concentrates near
+    k/n * 2^31 — so we first keep only rows with hash below
+    ``prune_margin * k / n * 2^31`` (a broadcast-joined per-stratum
+    threshold; expected ``prune_margin * k`` survivors per stratum,
+    Chernoff-tail shortfall ~exp(-k·margin/4)) and window-sort just the
+    survivors. EXACTNESS IS GATED, not probabilistic: survivor counts
+    are checked per stratum and any deficient stratum (possible only
+    under adversarial hash clustering) falls back to its full row set
+    before the final window. Strata with <= margin*k rows skip the
+    prune entirely.
+    """
+    if k < 1:
+        raise ValueError(f"stratified_topk needs k >= 1, got {k}")
+    h = lcg_u31(F.col(key_col), salt).alias("_h")
+    src = df.select("*", h)
+
+    # per-stratum row counts -> integer prune thresholds (tiny frame)
+    counts = src.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n"))
+    thresh = counts.select(
+        stratum_col,
+        "_n",
+        F.when(F.col("_n") <= prune_margin * k, F.lit(_LCG_M))
+        .otherwise((F.lit(_LCG_M * prune_margin * k) / F.col("_n")).cast("long"))
+        .alias("_th"),
+    )
+    cand = src.join(F.broadcast(thresh), stratum_col).filter(F.col("_h") < F.col("_th"))
+
+    # exactness gate: a stratum must retain min(k, n) candidates
+    cand_counts = cand.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_c"))
+    deficient = (
+        thresh.join(cand_counts, stratum_col, "left")
+        .filter(F.coalesce(F.col("_c"), F.lit(0)) < F.least(F.lit(k), F.col("_n")))
+        .select(stratum_col)
+    )
+    rescued = src.join(F.broadcast(deficient), stratum_col, "left_semi")
+    pool = cand.select(*df.columns, "_h").unionByName(rescued).dropDuplicates(
+        [stratum_col, key_col]
+    )
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(F.col("_h"), F.col(key_col))
+    return (
+        pool.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(*df.columns, F.col("_rn").alias("sample_rank"))
+    )
+
+
+def stratified_topk_sql(
+    cols: str, key_expr: str, stratum_expr: str, k: int, salt: int = 0
+) -> str:
+    """The identical selection as ANSI SQL (the oracle twin is the
+    UNPRUNED window spec — the prune is plan, not semantics)."""
+    return f"""
+        SELECT {cols}, sample_rank FROM (
+            SELECT {cols},
+                   ROW_NUMBER() OVER (
+                       PARTITION BY {stratum_expr}
+                       ORDER BY {lcg_u31_sql(key_expr, salt)}, {key_expr}
+                   ) AS sample_rank
+            FROM documents
+        ) WHERE sample_rank <= {k}
+    """

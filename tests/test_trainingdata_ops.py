@@ -849,3 +849,37 @@ def test_range_join_matches_bruteforce(spark, lower, upper):
         for r in range_join(left, right, ["k"], "t", "t", lower, upper).collect()
     )
     assert got == expected
+
+
+def test_stratified_topk_matches_window_spec(spark):
+    """stratified_topk (pruned plan) == the unpruned SQL window spec,
+    at the default margin, at margin 1 (forces the deficiency-rescue
+    path on small strata), and with k larger than a stratum."""
+    from kgw_spark.operators.sampling import lcg_u31_sql, stratified_topk
+
+    df = spark.createDataFrame(
+        [(i, "s%d" % (i % 4), i * 10) for i in range(400)] + [(1000, "tiny", 7)],
+        "doc_id long, lang string, n_chars long",
+    )
+    df.createOrReplaceTempView("stratsrc")
+
+    def oracle(k):
+        return spark.sql(f"""
+            SELECT doc_id, lang, n_chars, sample_rank FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY lang
+                    ORDER BY {lcg_u31_sql("doc_id")}, doc_id) AS sample_rank
+                FROM stratsrc) WHERE sample_rank <= {k}
+        """)
+
+    for k, margin in [(5, 8), (5, 1), (3, 2), (7, 8)]:
+        got = sorted(
+            map(tuple, stratified_topk(df, "doc_id", "lang", k, prune_margin=margin).collect())
+        )
+        exp = sorted(map(tuple, oracle(k).collect()))
+        assert got == exp, (k, margin)
+    # k exceeding the stratum size returns the whole stratum, ranked
+    tiny = stratified_topk(df, "doc_id", "lang", 50).filter("lang = 'tiny'")
+    assert [(r.doc_id, r.sample_rank) for r in tiny.collect()] == [(1000, 1)]
+    with pytest.raises(ValueError):
+        stratified_topk(df, "doc_id", "lang", 0)
