@@ -297,3 +297,14 @@ def test_temporal_joins_have_no_nested_loop(spark):
         p = plan(E.queries()[name](spark, SF))
         assert "CartesianProduct" not in p, name
         assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_common_neighbors_plan_shape(spark):
+    """kg_common_neighbors must stay on the bounded wedge path: the
+    per-node HOF pair expansion (sort_array over collected neighbor
+    lists) with no cartesian/nested-loop operator anywhere."""
+    import __spark_entry__ as E
+
+    p = plan(E.queries()["kg_common_neighbors"](spark, SF))
+    assert "sort_array" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p

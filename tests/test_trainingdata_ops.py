@@ -883,3 +883,48 @@ def test_stratified_topk_matches_window_spec(spark):
     assert [(r.doc_id, r.sample_rank) for r in tiny.collect()] == [(1000, 1)]
     with pytest.raises(ValueError):
         stratified_topk(df, "doc_id", "lang", 0)
+
+
+def test_common_neighbors_matches_bruteforce(spark):
+    """common_neighbors == a brute-force Python reference on a graph
+    with a hub (deg > cap), an adjacent pair, reversed duplicates, and
+    a self-loop — checked at several caps; also pins the deterministic
+    (count DESC, u, v) cut and the ValueError guard."""
+    import itertools
+
+    from kgw_spark.operators.linkpred import common_neighbors
+
+    raw = [
+        ("m1", "a"), ("m1", "b"), ("m1", "c"),
+        ("a", "b"),
+        ("b", "a"), ("a", "a"),
+        ("h", "a"), ("h", "b"), ("h", "c"), ("h", "d"), ("h", "e"),
+    ]
+
+    def brute(cap, top):
+        adj = {}
+        for s, d in raw:
+            if s != d:
+                adj.setdefault(s, set()).add(d)
+                adj.setdefault(d, set()).add(s)
+        cn = {}
+        for m, ns in adj.items():
+            if len(ns) > cap:
+                continue
+            for u, v in itertools.combinations(sorted(ns), 2):
+                cn[(u, v)] = cn.get((u, v), 0) + 1
+        rows = [
+            (u, v, n) for (u, v), n in cn.items() if v not in adj.get(u, ())
+        ]
+        rows.sort(key=lambda r: (-r[2], r[0], r[1]))
+        return rows[:top]
+
+    edges = spark.createDataFrame(raw, "source_id string, target_id string")
+    for cap in (1, 2, 3, 5, 100):
+        got = [
+            (r.u, r.v, r.n_common)
+            for r in common_neighbors(edges, deg_cap=cap, top=10).collect()
+        ]
+        assert got == brute(cap, 10), cap
+    with pytest.raises(ValueError):
+        common_neighbors(edges, deg_cap=0)
