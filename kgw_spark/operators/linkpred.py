@@ -37,18 +37,22 @@ def common_neighbors(
         raise ValueError(f"common_neighbors needs deg_cap/top >= 1, got {deg_cap}/{top}")
     s, d = F.col(src_col), F.col(dst_col)
     e = edges.filter(s != d)
-    # und feeds degree counting, wedge generation, and the adjacency
-    # anti-join; it is deliberately NOT checkpointed — recomputing the
-    # distinct per reference reads the (typically cached) edge view,
-    # and an A/B on the bench host measured materializing the 2|E|-row
-    # list a LOSS vs recompute at every trial (same memory-bandwidth
-    # lesson as the wide shingle-table persist in dedup.py). Callers
-    # whose edge source is an expensive uncached pipeline should
-    # persist it before calling.
-    und = (
-        e.select(s.alias("x"), d.alias("y"))
-        .union(e.select(d.alias("x"), s.alias("y")))
+    # canonical (u<v) pair list: ONE distinct over |E| rows — half the
+    # rows of dedup-ing the both-directions list — materialized once
+    # and re-read by its three consumers (degree agg, wedge grouping,
+    # adjacency anti-join). A/B on the bench host: this beats both the
+    # 2|E|-row distinct-then-checkpoint and the no-checkpoint recompute
+    # at every paired trial (the earlier und-sized checkpoint lost
+    # because it materialized twice the rows to save the same work).
+    pairs = (
+        e.select(F.least(s, d).alias("u"), F.greatest(s, d).alias("v"))
         .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # both-directions neighbor relation: the swap-union of a distinct
+    # u<v list is dedup-free (the two branches are disjoint), no shuffle
+    und = pairs.select(F.col("u").alias("x"), F.col("v").alias("y")).union(
+        pairs.select(F.col("v").alias("x"), F.col("u").alias("y"))
     )
     # degree pre-filter BEFORE collect_list: a hub never reaches a
     # reducer's buffer, so per-group state is bounded by deg_cap
@@ -60,7 +64,7 @@ def common_neighbors(
     # functions (sorted neighbor list -> all u<v combinations, <= C(cap,2)
     # per group) — one groupBy shuffle instead of the self-join's two
     grouped = low.groupBy("x").agg(F.sort_array(F.collect_list("y")).alias("ns"))
-    pairs = grouped.select(
+    wedge_pairs = grouped.select(
         F.explode(
             F.expr(
                 "flatten(transform(ns, (a, i) -> "
@@ -68,8 +72,8 @@ def common_neighbors(
             )
         ).alias("p")
     ).select("p.u", "p.v")
-    cn = pairs.groupBy("u", "v").agg(F.count(F.lit(1)).alias("n_common"))
-    nonadj = cn.join(
-        und.select(F.col("x").alias("u"), F.col("y").alias("v")), ["u", "v"], "left_anti"
-    )
+    cn = wedge_pairs.groupBy("u", "v").agg(F.count(F.lit(1)).alias("n_common"))
+    # wedge pairs are u<v by construction, so adjacency needs only the
+    # canonical half-size list
+    nonadj = cn.join(pairs, ["u", "v"], "left_anti")
     return nonadj.orderBy(F.desc("n_common"), "u", "v").limit(top)
