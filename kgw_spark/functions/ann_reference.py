@@ -154,3 +154,90 @@ def ref_ivf_topk(
     probe = {cid for cid, _ in scored[:n_probe]}
     candidates = [(vid, v) for vid, v in rows if cell_of(v, centroids) in probe]
     return _cosine_topk(candidates, query_vec, k)
+
+
+def ref_pq_topk(
+    parquet_path: str,
+    query_id,
+    k: int = 10,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_iters: int = 2,
+):
+    """Expected output of similarity.pq_topk — per-subspace codebooks
+    from the lowest-id init + integer-quantized Lloyd rounds, L2
+    assignment via csq − 2·dot (index-order folds, first-min ties),
+    ADC score = left-associative sum of per-subspace query·centroid
+    dots, rounded to 6, top-k by (adc DESC, id ASC)."""
+    from kgw_spark.operators.similarity import _QUANT, _pq_csq
+
+    rows = _load_vectors(parquet_path, id_col, vec_col)
+    query_vec = next(v for vid, v in rows if vid == query_id)
+    by_id = sorted(rows, key=lambda t: t[0])
+    dim = len(query_vec)
+    sd = dim // m
+    codebooks = [
+        [(c, v[j * sd : (j + 1) * sd]) for c, (_vid, v) in enumerate(by_id[:n_codes])]
+        for j in range(m)
+    ]
+
+    def assign(sub, cents):
+        best_c, best_val = None, None
+        for c, cent in cents:
+            acc = 0.0
+            for i in range(sd):
+                acc = acc + sub[i] * cent[i]
+            val = _pq_csq(list(cent)) - 2.0 * acc
+            if best_val is None or val < best_val:
+                best_c, best_val = c, val
+        return best_c
+
+    for _ in range(kmeans_iters):
+        sums: dict[tuple[int, int], list[int]] = {}
+        counts: dict[tuple[int, int], int] = {}
+        for _vid, v in rows:
+            for j in range(m):
+                sub = v[j * sd : (j + 1) * sd]
+                c = assign(sub, codebooks[j])
+                q = [math.floor(x * float(_QUANT)) for x in sub]
+                key = (j, c)
+                if key in sums:
+                    sums[key] = [a + b for a, b in zip(sums[key], q)]
+                    counts[key] += 1
+                else:
+                    sums[key], counts[key] = q, 1
+        codebooks = [
+            [
+                (
+                    c,
+                    [(s // counts[(j, c)]) / _QUANT for s in sums[(j, c)]]
+                    if counts.get((j, c), 0) > 0
+                    else cent,
+                )
+                for c, cent in codebooks[j]
+            ]
+            for j in range(m)
+        ]
+
+    luts = []
+    for j in range(m):
+        qs = query_vec[j * sd : (j + 1) * sd]
+        lut = []
+        for _c, cent in codebooks[j]:
+            acc = 0.0
+            for a, b in zip(qs, cent):
+                acc = acc + a * b
+            lut.append(acc)
+        luts.append(lut)
+
+    scored = []
+    for vid, v in rows:
+        codes = [assign(v[j * sd : (j + 1) * sd], codebooks[j]) for j in range(m)]
+        s = luts[0][codes[0]]
+        for j in range(1, m):
+            s = s + luts[j][codes[j]]
+        scored.append((vid, _round6(s)))
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    return scored[:k]

@@ -506,3 +506,204 @@ def ivf_topk(
     probe = [cid for cid, _ in scored[:n_probe]]
     candidates = assigned.filter(F.col("_cell").isin(probe))
     return cosine_topk(candidates, query_vec, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — Jégou, Douze, Schmid, "Product
+# Quantization for Nearest Neighbor Search" (TPAMI 2011). The vector is
+# split into ``m`` subspaces; each subspace gets its own ``n_codes``-entry
+# codebook (k-means in the subspace); a vector is stored as ``m`` small
+# codes. Query-time ADC (asymmetric distance computation) scores a
+# vector from a per-subspace lookup table of query·centroid dot
+# products — the scan touches ONLY the code table (m bytes/vector:
+# 100 TB of float32x64 vectors compresses to ~1.6 TB of codes), never
+# the vectors. All training arithmetic reuses the IVF discipline
+# (lowest-id init, integer-quantized order-independent Lloyd, argmin
+# first-min ties), so the whole index build is bit-reproducible and the
+# pure-Python twin functions/ann_reference.ref_pq_topk is an exact
+# value oracle.
+# ---------------------------------------------------------------------------
+
+
+def _pq_csq(c: list[float]) -> float:
+    # squared norm as an index-order fold — the exact op sequence the
+    # assignment kernel and the python oracle both replicate
+    acc = 0.0
+    for x in c:
+        acc = acc + x * x
+    return acc
+
+
+def pq_build(
+    emb: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_iters: int = 2,
+    init_vectors: list[list[float]] | None = None,
+) -> tuple[DataFrame, list[list[tuple[int, list[float]]]]]:
+    """Train ``m`` per-subspace codebooks and encode every vector.
+    Returns ``(codes_df, codebooks)`` where ``codes_df`` is
+    ``(id_col, _codes array<int>)`` and ``codebooks[j]`` is the
+    subspace-``j`` list of ``(code, centroid)``. Init is the
+    deterministic ``n_codes`` lowest-id vectors' subvectors
+    (``init_vectors`` lets a caller that already collected those rows
+    skip the init job); ``kmeans_iters`` Lloyd rounds refine each
+    codebook with the integer-quantized order-independent update, ALL
+    subspaces fused into ONE mapInPandas pass per round (the IVF r4
+    lesson: serial per-subspace job chains are fixed driver wall, not
+    data cost). Assignment is by subspace L2 distance via
+    ``|c|² − 2·x·c`` (the shared ``|x|²`` term cannot change an
+    argmin), ties to the lowest code."""
+    import numpy as np
+    import pandas as pd
+
+    if init_vectors is None:
+        init_vectors = [
+            [float(x) for x in r[vec_col]]
+            for r in emb.orderBy(id_col).limit(n_codes).collect()
+        ]
+    dim = len(init_vectors[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sd = dim // m
+    codebooks = [
+        [(c, v[j * sd : (j + 1) * sd]) for c, v in enumerate(init_vectors)]
+        for j in range(m)
+    ]
+
+    def _sub_assign(S, cents):
+        # (rows, n_codes) L2 surrogate: csq − 2·dot, accumulated
+        # elementwise in index order (bit-parity with the python fold)
+        val = np.empty((len(S), len(cents)), dtype=np.float64)
+        for c, cent in enumerate(cents):
+            acc = np.zeros(len(S), dtype=np.float64)
+            for i in range(S.shape[1]):
+                acc = acc + S[:, i] * cent[i]
+            val[:, c] = _pq_csq(list(cent)) - 2.0 * acc
+        return np.argmin(val, axis=1)
+
+    for _ in range(kmeans_iters):
+        cents_np = [
+            [np.asarray(c, dtype=np.float64) for _cid, c in codebooks[j]]
+            for j in range(m)
+        ]
+
+        def _partial(batches, cents_np=cents_np):
+            counts = np.zeros((m, n_codes), dtype=np.int64)
+            qsums = np.zeros((m, n_codes, sd), dtype=np.int64)
+            seen = False
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                seen = True
+                V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                for j in range(m):
+                    S = V[:, j * sd : (j + 1) * sd]
+                    idx = _sub_assign(S, cents_np[j])
+                    Q = np.floor(S * float(_QUANT)).astype(np.int64)
+                    for c in range(n_codes):
+                        msk = idx == c
+                        if msk.any():
+                            counts[j, c] += int(msk.sum())
+                            qsums[j, c] += Q[msk].sum(axis=0)
+            if seen:
+                yield pd.DataFrame(
+                    {
+                        "_sub": np.repeat(np.arange(m), n_codes),
+                        "_code": np.tile(np.arange(n_codes), m),
+                        "_n": counts.reshape(-1),
+                        "_q": [row.tolist() for row in qsums.reshape(m * n_codes, sd)],
+                    }
+                )
+
+        parts = (
+            emb.select(F.col(vec_col).cast("array<double>").alias(vec_col))
+            .mapInPandas(_partial, schema="_sub int, _code int, _n long, _q array<long>")
+            .collect()
+        )
+        agg: dict[tuple[int, int], tuple[int, list[int]]] = {}
+        for r in parts:
+            key = (r["_sub"], r["_code"])
+            n0, q0 = agg.get(key, (0, [0] * sd))
+            agg[key] = (n0 + r["_n"], [a + b for a, b in zip(q0, r["_q"])])
+        codebooks = [
+            [
+                (
+                    c,
+                    [(q // agg[(j, c)][0]) / _QUANT for q in agg[(j, c)][1]]
+                    if agg.get((j, c), (0, None))[0] > 0
+                    else cent,
+                )
+                for c, cent in codebooks[j]
+            ]
+            for j in range(m)
+        ]
+
+    cents_np = [
+        [np.asarray(c, dtype=np.float64) for _cid, c in codebooks[j]]
+        for j in range(m)
+    ]
+
+    def _encode(vecs):
+        V = np.array(vecs.tolist(), dtype=np.float64)
+        out = np.empty((len(V), m), dtype=np.int32)
+        for j in range(m):
+            out[:, j] = _sub_assign(V[:, j * sd : (j + 1) * sd], cents_np[j])
+        return pd.Series([row.tolist() for row in out])
+
+    # explicit Series->Series hints via annotations dict (the module's
+    # `from __future__ import annotations` breaks local-UDF inference)
+    _encode.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    from pyspark.sql.functions import pandas_udf
+
+    encode = pandas_udf(_encode, "array<int>")
+    codes_df = emb.select(
+        id_col, encode(F.col(vec_col).cast("array<double>")).alias("_codes")
+    )
+    return codes_df, codebooks
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_iters: int = 2,
+    init_vectors: list[list[float]] | None = None,
+) -> DataFrame:
+    """ADC top-k: score every vector as the sum of per-subspace
+    query·centroid dot products looked up by its PQ codes — one
+    JVM-side expression over the (id, m-codes) table, exact float
+    arithmetic in fixed subspace order, so the result value-oracles
+    against the pure-Python reference. Returns ``(id_col, adc)`` with
+    the (adc DESC, id ASC) top ``k``."""
+    codes_df, codebooks = pq_build(
+        emb, m, n_codes, id_col, vec_col, kmeans_iters, init_vectors
+    )
+    sd = len(query_vec) // m
+    luts = []
+    for j in range(m):
+        qs = query_vec[j * sd : (j + 1) * sd]
+        lut = []
+        for _c, cent in codebooks[j]:
+            acc = 0.0
+            for a, b in zip(qs, cent):
+                acc = acc + a * b
+            lut.append(acc)
+        luts.append(lut)
+    # ONE parsed expression (py4j Column-tree lesson): left-associative
+    # adds in subspace order, literal doubles via exact repr round-trip
+    terms = " + ".join(
+        f"{_sql_double_array(luts[j])}[_codes[{j}]]" for j in range(m)
+    )
+    adc = F.expr(f"round({terms}, 6)")
+    return (
+        codes_df.select(id_col, adc.alias("adc"))
+        .orderBy(F.desc("adc"), F.asc(id_col))
+        .limit(k)
+    )

@@ -117,3 +117,44 @@ def test_pagerank_scale_autoshrink_bounds_64bit(spark):
     exp = pagerank_py(edge_list, iters=4, scale=big)
     assert got == exp
     assert max(got.values()) * 85 * 3 < 2**63
+
+
+def test_min_label_propagation_matches_python(spark):
+    """min_label_propagation == the pure-Python replica on a hand graph
+    with a hub, a chain, an isolated node, a self-loop, and duplicate/
+    reversed edges, at every round count 1..4; with enough rounds the
+    labels equal each component's minimum id."""
+    from kgw_spark.operators.communities import (
+        label_propagation_py,
+        min_label_propagation,
+    )
+
+    raw = [
+        ("h", "a"), ("h", "b"), ("h", "c"),          # hub
+        ("c", "d"), ("d", "e"), ("e", "f"),          # chain off the hub
+        ("x", "y"), ("y", "x"), ("x", "x"),          # reversed dup + loop
+        ("a", "h"),                                   # duplicate edge
+    ]
+    node_ids = sorted({n for e in raw for n in e} | {"iso"})
+    nodes = spark.createDataFrame([(n,) for n in node_ids], "id string")
+    edges = spark.createDataFrame(raw, "source_id string, target_id string")
+    for rounds in (1, 2, 3, 4):
+        got = {
+            r.id: r.label
+            for r in min_label_propagation(nodes, edges, rounds=rounds).collect()
+        }
+        assert got == label_propagation_py(node_ids, raw, rounds=rounds), rounds
+    # convergence: 'f' is 5 undirected hops from 'a' (f-e-d-c-h-a), so
+    # 5 rounds reach the fixpoint = per-component min id ('a'; 'x'; 'iso')
+    got4 = {
+        r.id: r.label
+        for r in min_label_propagation(nodes, edges, rounds=5).collect()
+    }
+    assert got4 == {
+        "h": "a", "a": "a", "b": "a", "c": "a", "d": "a", "e": "a", "f": "a",
+        "x": "x", "y": "x", "iso": "iso",
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        min_label_propagation(nodes, edges, rounds=0)

@@ -928,3 +928,27 @@ def test_common_neighbors_matches_bruteforce(spark):
         assert got == brute(cap, 10), cap
     with pytest.raises(ValueError):
         common_neighbors(edges, deg_cap=0)
+
+
+def test_pq_topk_matches_reference_at_nondefault_params(emb):
+    """similarity.pq_topk == functions/ann_reference.ref_pq_topk at a
+    NON-default configuration (m=8 subspaces, 8 codes, 1 Lloyd round)
+    — certifies the parameterized codebook training + ADC scoring, not
+    just the registered driver config (which the entry oracle pins at
+    two SFs)."""
+    from kgw_spark.functions.ann_reference import ref_pq_topk
+
+    q = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
+    got = [
+        (r.vec_id, r.adc)
+        for r in similarity.pq_topk(
+            emb, q, k=12, m=8, n_codes=8, kmeans_iters=1
+        ).collect()
+    ]
+    exp = ref_pq_topk(
+        f"{SF}/embeddings.parquet", query_id=0, k=12, m=8, n_codes=8,
+        kmeans_iters=1,
+    )
+    assert got == exp
+    with pytest.raises(ValueError):
+        similarity.pq_topk(emb, q, m=7)  # 64 % 7 != 0
