@@ -87,3 +87,44 @@ def test_entry_smoke(spark):
 
 def test_every_oracle_key_has_query():
     assert set(E.oracle_sql()) <= set(E.queries())
+
+
+def test_rotation_policy_tail_is_previously_certified():
+    """Registration-order guard for the driver's ~50-row verification
+    budget: every queries() entry past position 50 must already have a
+    fully-green row (rows+schema+hash) in the LATEST committed
+    CORRECTNESS_r*.json — the rotation policy documented in queries().
+    New/rotated-in entries must sit in the head so they get certified
+    this round."""
+    import glob
+    import json
+    import re
+
+    repo = os.path.dirname(os.path.abspath(E.__file__))
+    records = sorted(
+        glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    if not records:
+        pytest.skip("no driver correctness record yet (round 1)")
+    with open(records[-1]) as f:
+        latest = json.load(f)
+    names = list(E.queries())
+    stale = []
+    for pos, name in enumerate(names, start=1):
+        if pos <= 50:
+            continue
+        row = latest.get(name)
+        ok = bool(
+            row
+            and row.get("rows_match")
+            and row.get("schema_match")
+            and row.get("hash_match")
+        )
+        if not ok:
+            stale.append((pos, name))
+    assert not stale, (
+        f"tail entries past the driver cap lack a green row in "
+        f"{os.path.basename(records[-1])}: {stale} — move them into the "
+        f"first 50 positions of queries()"
+    )
