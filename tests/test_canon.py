@@ -158,3 +158,33 @@ def test_min_label_propagation_matches_python(spark):
 
     with _pytest.raises(ValueError):
         min_label_propagation(nodes, edges, rounds=0)
+
+
+def test_k_core_matches_python(spark):
+    """k_core == the pure-Python peeling replica on a hand graph with a
+    4-clique, a pendant triangle, a chain, duplicate/reversed edges and
+    a self-loop, for k = 1..5 — including k where the core is empty."""
+    from kgw_spark.operators.kcore import k_core, k_core_py
+
+    raw = [
+        # 4-clique (the 3-core)
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+        # triangle hanging off the clique via one bridge (2-core part)
+        ("d", "t1"), ("t1", "t2"), ("t2", "t3"), ("t3", "t1"),
+        # chain (1-core only) + noise: dup, reversed dup, self-loop
+        ("t3", "p"), ("p", "q"), ("b", "a"), ("a", "b"), ("q", "q"),
+    ]
+    edges = spark.createDataFrame(raw, "source_id string, target_id string")
+    for k in (1, 2, 3, 4, 5):
+        got = {r.id: r.degree for r in k_core(edges, k=k).collect()}
+        assert got == k_core_py(raw, k=k), k
+    # spot-check the semantics: the 3-core is exactly the clique with
+    # in-core degree 3 (the bridge to t1 does not count), the 4-core
+    # is empty
+    assert {r.id for r in k_core(edges, k=3).collect()} == {"a", "b", "c", "d"}
+    assert k_core(edges, k=3).filter("degree != 3").count() == 0
+    assert k_core(edges, k=4).count() == 0
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        k_core(edges, k=0)
