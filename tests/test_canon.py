@@ -154,6 +154,23 @@ def test_min_label_propagation_matches_python(spark):
         "h": "a", "a": "a", "b": "a", "c": "a", "d": "a", "e": "a", "f": "a",
         "x": "x", "y": "x", "iso": "iso",
     }
+    # both execution paths — dictionary-encoded long ranks and direct
+    # string aggregation — must return identical rows (the dict path's
+    # min(rank) == rank(min) by order isomorphism)
+    for rounds in (1, 3):
+        a = {
+            r.id: r.label
+            for r in min_label_propagation(
+                nodes, edges, rounds=rounds, dict_encode=True
+            ).collect()
+        }
+        b = {
+            r.id: r.label
+            for r in min_label_propagation(
+                nodes, edges, rounds=rounds, dict_encode=False
+            ).collect()
+        }
+        assert a == b == label_propagation_py(node_ids, raw, rounds=rounds)
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
