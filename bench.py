@@ -125,7 +125,12 @@ def _fresh_spark(
     return spark
 
 
-QUERY_TRIALS = int(os.environ.get("SPARK_GRAFT_QUERY_TRIALS", "2"))
+# 3 interleaved passes: on slow-JIT boots (see session_warm) the
+# CPU-heaviest graph queries only converge on their third run — run 9
+# measured the 65-query suite at 111 s best-of-2 vs 58 s converged;
+# pass 1 is effectively the compile pass, so best-of-3 is the smallest
+# selection that records steady-state on every boot mode seen so far
+QUERY_TRIALS = int(os.environ.get("SPARK_GRAFT_QUERY_TRIALS", "3"))
 
 
 def _warm_python_workers(spark, cores: int) -> float:
