@@ -201,6 +201,11 @@ def test_k_core_matches_python(spark):
     assert {r.id for r in k_core(edges, k=3).collect()} == {"a", "b", "c", "d"}
     assert k_core(edges, k=3).filter("degree != 3").count() == 0
     assert k_core(edges, k=4).count() == 0
+    # dictionary-encoded and direct-string paths return identical rows
+    for k in (2, 3):
+        a = {r.id: r.degree for r in k_core(edges, k=k, dict_encode=True).collect()}
+        b = {r.id: r.degree for r in k_core(edges, k=k, dict_encode=False).collect()}
+        assert a == b == k_core_py(raw, k=k), k
     import pytest as _p
 
     with _p.raises(ValueError):
