@@ -8,27 +8,47 @@ integer degree counting over deterministic sets, so the result (node
 id, degree-within-core) is exactly value-oracle-able against a
 pure-Python replica.
 
-Plan shape per round (mirrors the measured-best iterative shape shared
-by pagerank/label-prop in this package):
+EXECUTION (r6 rewrite — incremental degree maintenance): the r5 shape
+re-aggregated degrees over the full 2|E|-row endpoint union and
+anti-join-rewrote (and re-checkpointed) the full pair list EVERY round,
+even though after the first round the peel frontier collapses (sf0.1:
+round 1 peels 13,788 of ~190k nodes, rounds 2-3 peel 14 — while the
+pair list stays at ~1.33M rows, >99% untouched). The peel recurrence
+only needs the DELTA: when frontier L is removed, a surviving neighbor
+v loses one degree per (L, v) edge. So:
 
-- degrees: one map-side-combined groupBy over the 2|E|-row endpoint
-  union — the shuffle carries <= |V| rows regardless of |E|;
-- the PEELED set (degree < k) is materialized, not the survivor set:
-  peeled nodes shrink geometrically after the first rounds, so the
-  anti-join ships the small side (AQE broadcasts it once it fits);
-- surviving pairs are ``localCheckpoint``-ed so plan depth stays O(1)
-  in rounds and each round re-reads a materialized pair list;
-- termination = an empty peel set (2 jobs/round: degree agg + peel
-  count ride one materialization, anti-join + checkpoint the other).
+- the canonical u<v pair list is materialized ONCE and never rewritten;
+- degrees are aggregated ONCE (map-side-combined groupBy; the shuffle
+  carries <= |V| rows regardless of |E|), then maintained per round by
+  joining the checkpointed pairs against the broadcast frontier (a
+  map-side scan, no pair-sized shuffle or checkpoint) and applying the
+  aggregated decrements to the <=|V|-row degree vector;
+- the cumulative removed set R (needed so a dead edge never decrements
+  twice) is broadcast while it fits; past ``_BCAST_MAX_PEELED`` the
+  pair list is COMPACTED (one anti-join rewrite, R resets to empty) —
+  i.e. the operator degrades to exactly one r5-style round per gate
+  overflow instead of broadcasting unbounded state;
+- termination = an empty frontier (the frontier count rides the same
+  <=|V|-row materialization that updates the degree vector).
+
+The r5 dictionary-encoded path is GONE: degree counting is
+count-by-key, which hash-aggregates fine on string keys (unlike
+label-prop's ``min(<string>)``, which is why communities.py still
+encodes) — A/B at sf0.1/32 lanes the encoded path lost on wall every
+interleaved trial (7.2-7.9 s vs 3.6-5.9 s warm) because its ~6 fixed
+encode/decode jobs cannot amortize over a 3-round peel.
+``dict_encode`` is retained as a parameter for API compatibility and
+ignored (both values produce the identical single path).
 
 Rounds are data-bounded (the peel depth, a.k.a. degeneracy diameter),
 not fixed: ``max_rounds`` is a runaway guard, and hitting it raises
 rather than returning a non-core.
 
-At 100 TB: every round's shuffle is keyed on node id (degree agg) or
-the pair's endpoint (anti-join); nothing is ever all-pairs and no
-per-node state exceeds one long. Skewed hubs cost one counted key, not
-a buffered group.
+At 100 TB: the one pair-sized shuffle is the initial distinct; every
+round after that shuffles only frontier-incident decrements (<= frontier
+degree sum) and re-materializes <=|V| degree rows. Skewed hubs cost one
+counted key, not a buffered group; gate overflows degrade to bounded
+anti-join rewrites, never an unbounded broadcast.
 """
 
 from __future__ import annotations
@@ -36,9 +56,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# below this many canonical pairs the string path's per-round cost is
-# smaller than the dictionary machinery's fixed jobs (see k_core)
-_DICT_MIN_PAIRS = 250_000
+# cumulative-removed-set broadcast gate: past this many peeled ids the
+# pair list is compacted (anti-join rewrite) and the set reset, so no
+# broadcast ever exceeds ~tens of MB of ids
+_BCAST_MAX_PEELED = 2_000_000
 
 
 def k_core(
@@ -52,85 +73,83 @@ def k_core(
     """Nodes of the k-core of the undirected simple graph induced by
     ``edges`` (direction, multi-edges, and self-loops collapsed), as
     ``(id, degree)`` with ``degree`` counted WITHIN the core. Empty
-    result when no k-core exists.
-
-    While the endpoint set fits the broadcast gate, ids are
-    dictionary-encoded to dense long ranks (the same order-preserving
-    trade as ``communities.min_label_propagation``): every round's
-    degree aggregation and peel anti-join then key on longs instead of
-    strings — measured ~2x less executor CPU at sf0.1 — and the final
-    degrees decode through one broadcast join. ``dict_encode`` forces
-    either path (both return identical rows, equivalence-tested)."""
+    result when no k-core exists. ``dict_encode`` is accepted for
+    compatibility and ignored (see module docstring)."""
     if k < 1:
         raise ValueError(f"k_core needs k >= 1, got {k}")
-    from kgw_spark.operators.communities import _BCAST_MAX_NODES, _order_rank
-
+    del dict_encode  # single execution path since r6 (module docstring)
     s, d = F.col(src_col), F.col(dst_col)
     # canonical u<v pair list: ONE distinct over |E| rows, materialized
-    # once — every round's degree agg and anti-join re-read it
+    # once — never rewritten unless the removed-set gate overflows
     pairs = (
         edges.filter(s != d)
         .select(F.least(s, d).alias("u"), F.greatest(s, d).alias("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # dictionary-encoding pays ~6 fixed jobs (endpoint distinct, rank,
-    # encode, decode) to make every round's agg/join key on longs —
-    # worth it only once the per-round work dominates, so small graphs
-    # keep the zero-overhead string path (A/B at sf0.01: 2.4 s string
-    # vs 4.6 s encoded; at sf0.1: 45 vs 75-124 consumed CPU-s in the
-    # other direction)
-    n_pairs = pairs.count()  # free: pairs is checkpointed
-    probe_dict = dict_encode if dict_encode is not None else (
-        n_pairs >= _DICT_MIN_PAIRS
+    # full degree aggregation, exactly once: map-side partial count
+    # bounds the shuffle at <=|V| rows regardless of |E|
+    deg = (
+        pairs.select(F.col("u").alias("id"))
+        .union(pairs.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=True)
     )
-    use_dict = False
-    if probe_dict:
-        ids = (
-            pairs.select(F.col("u").alias("id"))
-            .union(pairs.select(F.col("v").alias("id")))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        use_dict = dict_encode if dict_encode is not None else (
-            ids.count() <= _BCAST_MAX_NODES
-        )
-    rank = None
-    if use_dict:
-        parts = pairs.sparkSession.sparkContext.defaultParallelism
-        rank = _order_rank(ids, parts).localCheckpoint(eager=True)
-        enc_u = rank.select(F.col("id").alias("u"), F.col("r").alias("ru"))
-        enc_v = rank.select(F.col("id").alias("v"), F.col("r").alias("rv"))
-        pairs = (
-            pairs.join(F.broadcast(enc_u), "u")
-            .join(F.broadcast(enc_v), "v")
-            .select(F.col("ru").alias("u"), F.col("rv").alias("v"))
-            .localCheckpoint(eager=True)
-        )
-
-    def _decode(deg: DataFrame) -> DataFrame:
-        if rank is None:
-            return deg
-        dec = rank.select(F.col("r").alias("id"), F.col("id").alias("_id_s"))
-        return deg.join(F.broadcast(dec), "id").select(
-            F.col("_id_s").alias("id"), "degree"
-        )
-
+    removed: DataFrame | None = None  # cumulative peeled ids (broadcast side)
+    n_removed = 0
     for _ in range(max_rounds):
-        und = pairs.select(F.col("u").alias("id")).union(
-            pairs.select(F.col("v").alias("id"))
-        )
-        deg = und.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
-        # materialize the PEELED side: small after round 1, and the
-        # count that decides termination rides the same materialization
+        # frontier: materialized so the termination count and the
+        # decrement joins read the same tiny frame
         low = deg.filter(F.col("degree") < k).select("id").localCheckpoint(eager=True)
-        if low.count() == 0:
-            return _decode(deg)
-        pairs = (
-            pairs.join(low.withColumnRenamed("id", "u"), "u", "left_anti")
-            .join(low.withColumnRenamed("id", "v"), "v", "left_anti")
+        n_low = low.count()
+        if n_low == 0:
+            return deg
+        # decrements: for every ORIGINAL edge (u, v) with exactly one
+        # endpoint in the frontier and the other endpoint still live,
+        # the live endpoint loses one degree. Edges whose far endpoint
+        # was peeled in an earlier round already decremented then (it
+        # was live at that time... no: the far endpoint was the SURVIVOR
+        # then) — concretely: an edge dies in the round its FIRST
+        # endpoint is peeled, and decrements its other endpoint iff that
+        # endpoint is not in the same frontier; the anti-joins against
+        # removed ∪ frontier encode exactly that.
+        gone = low if removed is None else removed.union(low.select("id"))
+        lu = low.withColumnRenamed("id", "u")
+        lv = low.withColumnRenamed("id", "v")
+        touched = (
+            pairs.join(F.broadcast(lu), "u", "semi")
+            .select(F.col("v").alias("id"))
+            .union(
+                pairs.join(F.broadcast(lv), "v", "semi")
+                .select(F.col("u").alias("id"))
+            )
+            .join(F.broadcast(gone), "id", "anti")
+        )
+        decr = touched.groupBy("id").agg(F.count(F.lit(1)).alias("_dec"))
+        deg = (
+            deg.join(F.broadcast(low), "id", "anti")
+            .join(F.broadcast(decr), "id", "left")
+            .select(
+                "id",
+                (F.col("degree") - F.coalesce(F.col("_dec"), F.lit(0))).alias(
+                    "degree"
+                ),
+            )
             .localCheckpoint(eager=True)
         )
+        n_removed += n_low
+        removed = gone.localCheckpoint(eager=True)
+        if n_removed > _BCAST_MAX_PEELED:
+            # compact: one bounded anti-join rewrite of the pair list
+            # (the r5 round body), then the removed set resets — no
+            # broadcast ever carries more than the gate
+            pairs = (
+                pairs.join(removed.withColumnRenamed("id", "u"), "u", "left_anti")
+                .join(removed.withColumnRenamed("id", "v"), "v", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            removed, n_removed = None, 0
     raise RuntimeError(f"k_core did not converge within {max_rounds} rounds")
 
 
