@@ -16,15 +16,18 @@ var-length min does not fit the UnsafeRow hash-agg buffer), so the
 naive string formulation SORTS the 2|E|-row message stream TWICE per
 round — measured 57-83 executor-CPU-s per 3-round run at sf0.1 vs ~8
 for the same-shape integer PageRank. While the node set fits the
-broadcast budget, ids are therefore DICTIONARY-ENCODED to an
-order-preserving dense rank (0-based long over the sorted distinct
-ids): min(rank) == rank(min) by order isomorphism, every round becomes
-a HashAggregate over longs, and the final labels decode through two
-broadcast joins. Same result, bit-for-bit (equivalence-tested both
-paths), ~4x less CPU. Past the gate the exact string path below runs
-unchanged — the standard dictionary-encoding trade at cluster scale
-would shard the dictionary instead (range-partitioned rank is already
-how it is built here).
+broadcast budget, the LABEL payload is therefore DICTIONARY-ENCODED to
+an order-preserving long (min(rank) == rank(min) by order
+isomorphism): every round's aggregate is then ``min(<long>)`` — a
+fixed-width buffer, hence HashAggregate — while the grouping key stays
+the string id (var-length KEYS hash-aggregate fine; only the BUFFER
+had to become fixed-width, which is why the r5 shape's full pair-list
+encode and id decode were dead weight and were dropped in r6). The
+final labels decode through one broadcast join. Same result,
+bit-for-bit (equivalence-tested both paths). Past the gate the exact
+string path below runs unchanged — the standard dictionary-encoding
+trade at cluster scale would shard the dictionary instead
+(range-partitioned rank is already how it is built here).
 
 Plan shape per round (the measured-best variant of the pagerank-style
 iterative shape): one join edges⋈labels on the neighbor id producing
@@ -40,7 +43,7 @@ full edge derivation).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # same gate as pagerank: a (string id, string lbl) row is ~2x a rank
@@ -49,32 +52,20 @@ _BCAST_MAX_NODES = 1_500_000
 
 
 def _order_rank(ids: DataFrame, parts: int) -> DataFrame:
-    """Order-preserving dense rank ``(id, r)`` (r = 0-based long, ids
-    distinct strings), fully JVM-side: range-partition by id (partition
-    order == id order), row_number within each partition, then add the
-    collected per-partition offsets (≤ ``parts`` driver rows — the
-    zipWithIndex pattern without a global single-partition window, so
-    no stage ever sorts more than one range shard)."""
-    from kgw_spark.session import local_df
-
-    part = ids.repartitionByRange(max(parts, 1), "id").withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    w = Window.partitionBy("_pid").orderBy("id")
-    pos = part.withColumn("_pos", F.row_number().over(w)).localCheckpoint(
-        eager=True
-    )
-    sizes = {
-        r["_pid"]: r["n"]
-        for r in pos.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    offs, acc = [], 0
-    for pid in sorted(sizes):
-        offs.append((pid, acc))
-        acc += sizes[pid]
-    odf = local_df(ids.sparkSession, offs, "_pid int, _off long")
-    return pos.join(F.broadcast(odf), "_pid").select(
-        "id", (F.col("_off") + F.col("_pos") - 1).alias("r")
+    """Order-preserving long key ``(id, r)`` over distinct string ids:
+    range-partition by id (partition order == id order), sort within
+    each partition, then ``monotonically_increasing_id`` (partition id
+    in the high bits, row position in the low bits — strictly
+    increasing along the global id order). NOT dense, and does not need
+    to be: the dictionary-encoding consumers only require an order
+    ISOMORPHISM (min(r) == r(min)); density was never used. This
+    replaces the r5 zipWithIndex construction (window pass + per-
+    partition-count collect + offset join, 4 jobs one of which hits the
+    driver) with a single narrow shuffle-and-sort pass."""
+    return (
+        ids.repartitionByRange(max(parts, 1), "id")
+        .sortWithinPartitions("id")
+        .withColumn("r", F.monotonically_increasing_id())
     )
 
 
@@ -164,30 +155,24 @@ def _string_rounds(pairs: DataFrame, labels: DataFrame, rounds: int, bcast: bool
 
 
 def _dict_rounds(pairs: DataFrame, labels: DataFrame, rounds: int) -> DataFrame:
-    """Dictionary-encoded rounds: ids → order-preserving long ranks so
-    every min-agg is a HashAggregate over longs (see module docstring).
-    ``labels`` already covers nodes ∪ endpoints, so the rank dictionary
-    is built directly over it."""
+    """Dictionary-encoded rounds — r6 shape: only the LABEL payload is
+    encoded to order-preserving longs; node keys stay strings. The
+    hash-agg obstruction was never the grouping KEY (var-length keys
+    hash-aggregate fine), only ``min(<string>)``'s var-length agg
+    BUFFER — so ``min(<long label>)`` grouped by the string id is
+    already a HashAggregate, and the r5 plan's pair-list encode (two
+    broadcast joins + a second |E|-row checkpoint) and the id-decode
+    join at the end bought nothing. ``labels`` already covers nodes ∪
+    endpoints, so the rank dictionary is built directly over it."""
     parts = pairs.sparkSession.sparkContext.defaultParallelism
     rank = _order_rank(labels.select("id"), parts).localCheckpoint(eager=True)
-    enc_u = rank.select(F.col("id").alias("u"), F.col("r").alias("ru"))
-    enc_v = rank.select(F.col("id").alias("v"), F.col("r").alias("rv"))
-    pairs_i = (
-        pairs.join(F.broadcast(enc_u), "u")
-        .join(F.broadcast(enc_v), "v")
-        .select(F.col("ru").alias("u"), F.col("rv").alias("v"))
-        .localCheckpoint(eager=True)
-    )
     # label_0 = own rank, for EVERY ranked id (nodes ∪ endpoints) —
     # matches the string path's output domain exactly
-    labels_i = rank.select(F.col("r").alias("id"), F.col("r").alias("label"))
-    out = _rounds_loop(_swap_union(pairs_i), labels_i, rounds, bcast=True)
-    dec_id = rank.select(F.col("r").alias("id"), F.col("id").alias("_id_s"))
+    labels_i = rank.select("id", F.col("r").alias("label"))
+    out = _rounds_loop(_swap_union(pairs), labels_i, rounds, bcast=True)
     dec_lb = rank.select(F.col("r").alias("label"), F.col("id").alias("_lb_s"))
-    return (
-        out.join(F.broadcast(dec_id), "id")
-        .join(F.broadcast(dec_lb), "label")
-        .select(F.col("_id_s").alias("id"), F.col("_lb_s").alias("label"))
+    return out.join(F.broadcast(dec_lb), "label").select(
+        "id", F.col("_lb_s").alias("label")
     )
 
 
