@@ -77,6 +77,7 @@ def min_label_propagation(
     src_col: str = "source_id",
     dst_col: str = "target_id",
     dict_encode: bool | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Labels ``(id, label)`` after ``rounds`` synchronous min-label
     updates: ``label_0(v) = v``, ``label_i(v) = min(label_{i-1}(v),
@@ -85,20 +86,25 @@ def min_label_propagation(
     isolated nodes keep their own id. ``dict_encode`` forces the
     dictionary-encoded long path (True) or the direct string path
     (False); default auto-selects by the broadcast gate. Both paths
-    return identical rows (equivalence-tested)."""
+    return identical rows (equivalence-tested). ``pairs`` optionally
+    supplies the canonical ``u < v`` distinct pair list as a
+    MATERIALIZED frame (shared-derived-view contract, see
+    kcore.k_core)."""
     if rounds < 1:
         raise ValueError(f"min_label_propagation needs rounds >= 1, got {rounds}")
-    s, d = F.col(src_col), F.col(dst_col)
-    # canonical u<v pair list, ONE distinct over |E| rows (half the rows
-    # of dedup-ing the both-directions list — same trade measured in
-    # linkpred.common_neighbors), materialized once: every round's join
-    # re-reads it, so multi-edge fan-in is paid once, not per round
-    pairs = (
-        edges.filter(s != d)
-        .select(F.least(s, d).alias("u"), F.greatest(s, d).alias("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    if pairs is None:
+        s, d = F.col(src_col), F.col(dst_col)
+        # canonical u<v pair list, ONE distinct over |E| rows (half the
+        # rows of dedup-ing the both-directions list — same trade
+        # measured in linkpred.common_neighbors), materialized once:
+        # every round's join re-reads it, so multi-edge fan-in is paid
+        # once, not per round
+        pairs = (
+            edges.filter(s != d)
+            .select(F.least(s, d).alias("u"), F.greatest(s, d).alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
     # label domain = nodes ∪ edge endpoints, every id starting with its
     # own label (the pure-Python replica's convention; endpoints absent
     # from the node frame would otherwise never carry a self-label and

@@ -69,24 +69,31 @@ def k_core(
     dst_col: str = "target_id",
     max_rounds: int = 100,
     dict_encode: bool | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Nodes of the k-core of the undirected simple graph induced by
     ``edges`` (direction, multi-edges, and self-loops collapsed), as
     ``(id, degree)`` with ``degree`` counted WITHIN the core. Empty
     result when no k-core exists. ``dict_encode`` is accepted for
-    compatibility and ignored (see module docstring)."""
+    compatibility and ignored (see module docstring). ``pairs``
+    optionally supplies the canonical ``u < v`` distinct pair list as a
+    MATERIALIZED (persisted/checkpointed) frame — callers running
+    several undirected analytics share one pair list instead of paying
+    the |E|-row distinct per operator; it must equal exactly what this
+    function derives from ``edges`` itself."""
     if k < 1:
         raise ValueError(f"k_core needs k >= 1, got {k}")
     del dict_encode  # single execution path since r6 (module docstring)
-    s, d = F.col(src_col), F.col(dst_col)
-    # canonical u<v pair list: ONE distinct over |E| rows, materialized
-    # once — never rewritten unless the removed-set gate overflows
-    pairs = (
-        edges.filter(s != d)
-        .select(F.least(s, d).alias("u"), F.greatest(s, d).alias("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    if pairs is None:
+        s, d = F.col(src_col), F.col(dst_col)
+        # canonical u<v pair list: ONE distinct over |E| rows,
+        # materialized once — never rewritten unless the gate overflows
+        pairs = (
+            edges.filter(s != d)
+            .select(F.least(s, d).alias("u"), F.greatest(s, d).alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
     # full degree aggregation, exactly once: map-side partial count
     # bounds the shuffle at <=|V| rows regardless of |E|
     deg = (

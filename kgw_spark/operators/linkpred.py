@@ -28,27 +28,33 @@ def common_neighbors(
     dst_col: str = "target_id",
     deg_cap: int = 32,
     top: int = 20,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Top ``top`` non-adjacent pairs ``(u, v, n_common)`` (``u < v``)
     by count of shared neighbors of degree ≤ ``deg_cap``, over the
     undirected simple graph induced by ``edges`` (direction, edge type,
-    multi-edges, and self-loops collapsed)."""
+    multi-edges, and self-loops collapsed). ``pairs`` optionally
+    supplies the canonical ``u < v`` distinct pair list as a
+    MATERIALIZED frame (shared-derived-view contract, see
+    kcore.k_core)."""
     if deg_cap < 1 or top < 1:
         raise ValueError(f"common_neighbors needs deg_cap/top >= 1, got {deg_cap}/{top}")
-    s, d = F.col(src_col), F.col(dst_col)
-    e = edges.filter(s != d)
-    # canonical (u<v) pair list: ONE distinct over |E| rows — half the
-    # rows of dedup-ing the both-directions list — materialized once
-    # and re-read by its three consumers (degree agg, wedge grouping,
-    # adjacency anti-join). A/B on the bench host: this beats both the
-    # 2|E|-row distinct-then-checkpoint and the no-checkpoint recompute
-    # at every paired trial (the earlier und-sized checkpoint lost
-    # because it materialized twice the rows to save the same work).
-    pairs = (
-        e.select(F.least(s, d).alias("u"), F.greatest(s, d).alias("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    if pairs is None:
+        s, d = F.col(src_col), F.col(dst_col)
+        e = edges.filter(s != d)
+        # canonical (u<v) pair list: ONE distinct over |E| rows — half
+        # the rows of dedup-ing the both-directions list — materialized
+        # once and re-read by its three consumers (degree agg, wedge
+        # grouping, adjacency anti-join). A/B on the bench host: this
+        # beats both the 2|E|-row distinct-then-checkpoint and the
+        # no-checkpoint recompute at every paired trial (the earlier
+        # und-sized checkpoint lost because it materialized twice the
+        # rows to save the same work).
+        pairs = (
+            e.select(F.least(s, d).alias("u"), F.greatest(s, d).alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
     # both-directions neighbor relation: the swap-union of a distinct
     # u<v list is dedup-free (the two branches are disjoint), no shuffle
     und = pairs.select(F.col("u").alias("x"), F.col("v").alias("y")).union(

@@ -52,14 +52,20 @@ def effective_scale(n_nodes: int, scale: int, damping_num: int) -> int:
 
 def _graph_parts(edges: DataFrame) -> DataFrame:
     """Node set with out-degree attached: ``(id, _deg)`` where ``_deg``
-    is null for dangling nodes (never referenced — a dangling id never
-    appears as a join source)."""
-    src = edges.select(F.col("source_id").alias("id"))
-    tgt = edges.select(F.col("target_id").alias("id"))
-    out_deg = edges.groupBy(F.col("source_id").alias("id")).agg(
-        F.count(F.lit(1)).alias("_deg")
+    is 0 for dangling nodes (never referenced — a dangling id never
+    appears as a join source, so only the distinct-ness of the id set
+    and the out-degree of source nodes matter). ONE map-side-combined
+    aggregation over the tagged endpoint union replaces the r5 shape's
+    three exchanges (endpoint distinct + out-degree groupBy + join):
+    sources contribute 1 to the sum, targets 0, so the aggregate is
+    simultaneously the distinct node set and the out-degree vector —
+    A/B at sf0.1/32 lanes 0.6-0.9 s vs 0.95-2.0 s per build."""
+    return (
+        edges.select(F.col("source_id").alias("id"), F.lit(1).alias("_c"))
+        .union(edges.select(F.col("target_id").alias("id"), F.lit(0).alias("_c")))
+        .groupBy("id")
+        .agg(F.sum("_c").alias("_deg"))
     )
-    return src.union(tgt).distinct().join(out_deg, "id", "left")
 
 
 def pagerank(

@@ -210,3 +210,54 @@ def test_k_core_matches_python(spark):
 
     with _p.raises(ValueError):
         k_core(edges, k=0)
+
+
+def test_shared_pairs_view_matches_internal_derivation(spark):
+    """Operators accepting a pre-materialized canonical pair list
+    (shared-derived-view contract) return exactly what they compute
+    when deriving the pair list themselves — k_core, label propagation
+    and common_neighbors on the same hand graph."""
+    from pyspark.sql import functions as F
+
+    from kgw_spark.operators.communities import min_label_propagation
+    from kgw_spark.operators.kcore import k_core
+    from kgw_spark.operators.linkpred import common_neighbors
+
+    raw = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+        ("d", "t1"), ("t1", "t2"), ("t2", "t3"), ("t3", "t1"),
+        ("t3", "p"), ("p", "q"), ("b", "a"), ("a", "b"), ("q", "q"),
+    ]
+    edges = spark.createDataFrame(raw, "source_id string, target_id string")
+    nodes = spark.createDataFrame(
+        [(n,) for n in sorted({x for e in raw for x in e})], "id string"
+    )
+    s, d = F.col("source_id"), F.col("target_id")
+    pairs = (
+        edges.filter(s != d)
+        .select(F.least(s, d).alias("u"), F.greatest(s, d).alias("v"))
+        .distinct()
+        .persist()
+    )
+    a = {r.id: r.degree for r in k_core(edges, k=2, pairs=pairs).collect()}
+    b = {r.id: r.degree for r in k_core(edges, k=2).collect()}
+    assert a == b
+    a = {
+        r.id: r.label
+        for r in min_label_propagation(nodes, edges, rounds=2, pairs=pairs).collect()
+    }
+    b = {
+        r.id: r.label
+        for r in min_label_propagation(nodes, edges, rounds=2).collect()
+    }
+    assert a == b
+    a = [
+        (r.u, r.v, r.n_common)
+        for r in common_neighbors(edges, deg_cap=8, top=5, pairs=pairs).collect()
+    ]
+    b = [
+        (r.u, r.v, r.n_common)
+        for r in common_neighbors(edges, deg_cap=8, top=5).collect()
+    ]
+    assert a == b
+    pairs.unpersist()
