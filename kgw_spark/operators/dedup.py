@@ -395,22 +395,39 @@ def minhash_lsh_pairs(
     ).select(id_col, "bb.band", "bb.bucket")
     a = banded.select(F.col(id_col).alias("a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("b"), "band", "bucket")
+    # the candidate set is band-collision-bounded and tiny relative to
+    # the corpus; it is eagerly materialized because the verify phase
+    # below references it TWICE (pair join + doc-set prune) — left
+    # lazy, both references would inline the full banded-signature
+    # subplan, and the duplicated 64-permutation codegen measurably
+    # blew the JVM code cache (JIT disabled itself mid-session,
+    # "compilation: disabled", 2-4x walls). The r5 note that a
+    # checkpoint here was slower predates the second reference.
     candidates = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    # verify candidates with exact jaccard against the SAME cached
-    # shingle table; the candidate side is band-collision-bounded and
-    # tiny relative to the corpus, so AQE converts these shuffles to
-    # runtime broadcasts from actual sizes (an eager checkpoint + count
-    # gate here measured SLOWER — it serializes the candidate build and
-    # the verify into separate jobs instead of letting one job pipeline
-    # all stages across the cluster)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_size"))
-    sa = sh.select(F.col(id_col).alias("a"), "shingle")
-    sb = sh.select(F.col(id_col).alias("b"), "shingle")
+    # verify candidates with exact jaccard — but FIRST prune the cached
+    # shingle table to docs that appear in some candidate pair (one
+    # broadcast semi-join, map-side over the cache): the verify joins
+    # and the size aggregation then run over candidate-doc shingles
+    # only, a guide-(S)3.2 semi-join reduction that also removes the
+    # (b, shingle)-keyed shuffle of the full shingle table. The
+    # candidate-doc set is band-collision-bounded like the candidate
+    # pairs themselves, so the broadcast is as safe as the runtime
+    # broadcasts AQE already chose for the candidate side.
+    cand_docs = (
+        candidates.select(F.col("a").alias(id_col))
+        .union(candidates.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    vsh = sh.join(F.broadcast(cand_docs), id_col, "semi")
+    sizes = vsh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_size"))
+    sa = vsh.select(F.col(id_col).alias("a"), "shingle")
+    sb = vsh.select(F.col(id_col).alias("b"), "shingle")
     common = (
         candidates.join(sa, "a")
         .join(sb, ["b", "shingle"])
