@@ -78,6 +78,7 @@ def min_label_propagation(
     dst_col: str = "target_id",
     dict_encode: bool | None = None,
     pairs: DataFrame | None = None,
+    endpoints_covered: bool = False,
 ) -> DataFrame:
     """Labels ``(id, label)`` after ``rounds`` synchronous min-label
     updates: ``label_0(v) = v``, ``label_i(v) = min(label_{i-1}(v),
@@ -89,7 +90,14 @@ def min_label_propagation(
     return identical rows (equivalence-tested). ``pairs`` optionally
     supplies the canonical ``u < v`` distinct pair list as a
     MATERIALIZED frame (shared-derived-view contract, see
-    kcore.k_core)."""
+    kcore.k_core). ``endpoints_covered=True`` asserts every edge
+    endpoint appears in ``nodes`` (referential integrity the caller
+    vouches for — true for any store-built KG, whose node table is
+    derived from the edge endpoints): the label domain is then
+    ``distinct(nodes)`` alone and the 2|E|-row endpoint-union distinct
+    is skipped. An endpoint missing from ``nodes`` under this flag
+    would silently receive no label, so only set it where the
+    invariant genuinely holds."""
     if rounds < 1:
         raise ValueError(f"min_label_propagation needs rounds >= 1, got {rounds}")
     if pairs is None:
@@ -108,12 +116,15 @@ def min_label_propagation(
     # label domain = nodes ∪ edge endpoints, every id starting with its
     # own label (the pure-Python replica's convention; endpoints absent
     # from the node frame would otherwise never carry a self-label and
-    # the two execution paths below could disagree on them)
+    # the two execution paths below could disagree on them);
+    # endpoints_covered skips the 2|E|-row union legs (docstring)
+    ids = nodes.select(F.col(id_col).alias("id"))
+    if not endpoints_covered:
+        ids = ids.union(pairs.select(F.col("u").alias("id"))).union(
+            pairs.select(F.col("v").alias("id"))
+        )
     ids = (
-        nodes.select(F.col(id_col).alias("id"))
-        .union(pairs.select(F.col("u").alias("id")))
-        .union(pairs.select(F.col("v").alias("id")))
-        .distinct()
+        ids.distinct()
         .localCheckpoint(eager=True)  # one evaluation: count, rank
         # dictionary, and round-0 labels all re-read this ≤|V| frame
     )

@@ -261,3 +261,38 @@ def test_shared_pairs_view_matches_internal_derivation(spark):
     ]
     assert a == b
     pairs.unpersist()
+
+
+def test_label_prop_endpoints_covered_equivalence(spark):
+    """endpoints_covered=True returns identical labels when the node
+    frame really covers every edge endpoint (and the flag composes with
+    the shared-pairs contract)."""
+    from pyspark.sql import functions as F
+
+    from kgw_spark.operators.communities import min_label_propagation
+
+    raw = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("x", "y")]
+    nodes = spark.createDataFrame(
+        [(n,) for n in sorted({x for e in raw for x in e} | {"iso"})], "id string"
+    )
+    edges = spark.createDataFrame(raw, "source_id string, target_id string")
+    s, d = F.col("source_id"), F.col("target_id")
+    pairs = (
+        edges.filter(s != d)
+        .select(F.least(s, d).alias("u"), F.greatest(s, d).alias("v"))
+        .distinct()
+        .persist()
+    )
+    for rounds in (1, 3):
+        a = {
+            r.id: r.label
+            for r in min_label_propagation(
+                nodes, edges, rounds=rounds, pairs=pairs, endpoints_covered=True
+            ).collect()
+        }
+        b = {
+            r.id: r.label
+            for r in min_label_propagation(nodes, edges, rounds=rounds).collect()
+        }
+        assert a == b, rounds
+    pairs.unpersist()
