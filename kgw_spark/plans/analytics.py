@@ -229,7 +229,9 @@ setInterval(tick, 40);
 """
 
 
-def k_hop(edges: DataFrame, node_id: str, k: int) -> DataFrame:
+def k_hop(
+    edges: DataFrame, node_id: str, k: int, pairs: DataFrame | None = None
+) -> DataFrame:
     """BFS distances ≤ k from ``node_id`` over the undirected edge set:
     ``(id, hop)`` with hop = shortest undirected distance. Iterative
     frontier expansion — per level, two directional joins against the
@@ -243,11 +245,25 @@ def k_hop(edges: DataFrame, node_id: str, k: int) -> DataFrame:
     level ever shuffles the edge set while the frontier is small — and
     only the per-level frontier is checkpointed (the visited set is a
     cheap union of those ≤k tiny checkpointed frames, not re-
-    checkpointed every round)."""
+    checkpointed every round).
+
+    ``pairs`` (r6): optional MATERIALIZED canonical ``u < v`` distinct
+    pair list (the shared derived view, see kcore.k_core). BFS is
+    direction- and multiplicity-blind — the two directional joins probe
+    both columns and the frontier is distinct-ed — so the canonical
+    list gives the identical frontier sets while skipping this query's
+    own per-call persist of the edge projection (self-loops, which the
+    canonical list drops, only ever re-emit an already-visited node).
+    """
     spark = edges.sparkSession
-    e = edges.select(
-        F.col("source_id").alias("u"), F.col("target_id").alias("v")
-    ).persist()
+    own_persist = pairs is None
+    e = (
+        edges.select(
+            F.col("source_id").alias("u"), F.col("target_id").alias("v")
+        ).persist()
+        if own_persist
+        else pairs
+    )
     from kgw_spark.session import local_df
 
     seed = local_df(spark, [(node_id, 0)], "id string, hop int")
@@ -278,7 +294,8 @@ def k_hop(edges: DataFrame, node_id: str, k: int) -> DataFrame:
     out = frames[0]
     for fr in frames[1:]:
         out = out.union(fr)
-    e.unpersist()
+    if own_persist:
+        e.unpersist()
     return out
 
 
