@@ -51,19 +51,23 @@ from pyspark.sql import functions as F
 _BCAST_MAX_NODES = 1_500_000
 
 
-def _order_rank(ids: DataFrame, parts: int) -> DataFrame:
-    """Order-preserving long key ``(id, r)`` over distinct string ids:
-    range-partition by id (partition order == id order), sort within
-    each partition, then ``monotonically_increasing_id`` (partition id
-    in the high bits, row position in the low bits — strictly
-    increasing along the global id order). NOT dense, and does not need
+def _order_rank(ids_raw: DataFrame, parts: int) -> DataFrame:
+    """Order-preserving long key ``(id, r)`` over the DISTINCT ids of
+    ``ids_raw`` (which may carry duplicates): range-partition by id
+    (partition order == id order), dedup IN PLACE — RangePartitioning
+    satisfies the aggregation's ClusteredDistribution requirement, so
+    the dropDuplicates adds no second exchange — then sort within each
+    partition and take ``monotonically_increasing_id`` (partition id in
+    the high bits, row position in the low bits — strictly increasing
+    along the global id order). ``r`` is NOT dense, and does not need
     to be: the dictionary-encoding consumers only require an order
-    ISOMORPHISM (min(r) == r(min)); density was never used. This
-    replaces the r5 zipWithIndex construction (window pass + per-
-    partition-count collect + offset join, 4 jobs one of which hits the
-    driver) with a single narrow shuffle-and-sort pass."""
+    ISOMORPHISM (min(r) == r(min)); density was never used. This fuses
+    what r5 ran as distinct-shuffle + checkpoint + a zipWithIndex
+    construction (window pass + per-partition-count collect + offset
+    join) into one shuffle-dedup-sort pass."""
     return (
-        ids.repartitionByRange(max(parts, 1), "id")
+        ids_raw.repartitionByRange(max(parts, 1), "id")
+        .dropDuplicates(["id"])
         .sortWithinPartitions("id")
         .withColumn("r", F.monotonically_increasing_id())
     )
@@ -117,24 +121,25 @@ def min_label_propagation(
     # own label (the pure-Python replica's convention; endpoints absent
     # from the node frame would otherwise never carry a self-label and
     # the two execution paths below could disagree on them);
-    # endpoints_covered skips the 2|E|-row union legs (docstring)
-    ids = nodes.select(F.col(id_col).alias("id"))
+    # endpoints_covered skips the 2|E|-row union legs (docstring).
+    # The domain distinct and the rank dictionary are ONE fused
+    # range-shuffle (_order_rank dedups in place), materialized once:
+    # the gate count, round-0 labels, and the decode all re-read it —
+    # the string path simply ignores the rank column.
+    ids_raw = nodes.select(F.col(id_col).alias("id"))
     if not endpoints_covered:
-        ids = ids.union(pairs.select(F.col("u").alias("id"))).union(
+        ids_raw = ids_raw.union(pairs.select(F.col("u").alias("id"))).union(
             pairs.select(F.col("v").alias("id"))
         )
-    ids = (
-        ids.distinct()
-        .localCheckpoint(eager=True)  # one evaluation: count, rank
-        # dictionary, and round-0 labels all re-read this ≤|V| frame
-    )
-    labels = ids.withColumn("label", F.col("id"))
-    n_nodes = ids.count()
+    parts = pairs.sparkSession.sparkContext.defaultParallelism
+    rank = _order_rank(ids_raw, parts).localCheckpoint(eager=True)
+    n_nodes = rank.count()
     use_dict = dict_encode if dict_encode is not None else (
         n_nodes <= _BCAST_MAX_NODES
     )
     if use_dict:
-        return _dict_rounds(pairs, labels, rounds)
+        return _dict_rounds(pairs, rank, rounds)
+    labels = rank.select("id").withColumn("label", F.col("id"))
     return _string_rounds(pairs, labels, rounds, bcast=n_nodes <= _BCAST_MAX_NODES)
 
 
@@ -151,8 +156,9 @@ def _rounds_loop(und: DataFrame, labels: DataFrame, rounds: int, bcast: bool) ->
     rows, ONE min-aggregate (map-side partial min bounds the shuffle at
     ≤|V| rows) — A/B-measured at sf0.1/32 lanes against the two-join
     (nbmin + left-join-least) update: 4.1 s vs 4.8 s warm, one
-    broadcast build per round not two."""
-    labels = labels.localCheckpoint(eager=True)
+    broadcast build per round not two. Both callers pass ``labels`` as
+    a cheap projection of the already-checkpointed rank dictionary, so
+    no round-0 materialization is needed here."""
     for _ in range(rounds):
         lbl = F.broadcast(labels) if bcast else labels
         msgs = und.join(lbl, und["y"] == lbl["id"]).select(
@@ -171,7 +177,7 @@ def _string_rounds(pairs: DataFrame, labels: DataFrame, rounds: int, bcast: bool
     return _rounds_loop(_swap_union(pairs), labels, rounds, bcast)
 
 
-def _dict_rounds(pairs: DataFrame, labels: DataFrame, rounds: int) -> DataFrame:
+def _dict_rounds(pairs: DataFrame, rank: DataFrame, rounds: int) -> DataFrame:
     """Dictionary-encoded rounds — r6 shape: only the LABEL payload is
     encoded to order-preserving longs; node keys stay strings. The
     hash-agg obstruction was never the grouping KEY (var-length keys
@@ -179,10 +185,8 @@ def _dict_rounds(pairs: DataFrame, labels: DataFrame, rounds: int) -> DataFrame:
     BUFFER — so ``min(<long label>)`` grouped by the string id is
     already a HashAggregate, and the r5 plan's pair-list encode (two
     broadcast joins + a second |E|-row checkpoint) and the id-decode
-    join at the end bought nothing. ``labels`` already covers nodes ∪
-    endpoints, so the rank dictionary is built directly over it."""
-    parts = pairs.sparkSession.sparkContext.defaultParallelism
-    rank = _order_rank(labels.select("id"), parts).localCheckpoint(eager=True)
+    join at the end bought nothing. ``rank`` is the caller's
+    checkpointed (id, r) dictionary over nodes ∪ endpoints."""
     # label_0 = own rank, for EVERY ranked id (nodes ∪ endpoints) —
     # matches the string path's output domain exactly
     labels_i = rank.select("id", F.col("r").alias("label"))
