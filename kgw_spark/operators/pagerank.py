@@ -74,13 +74,22 @@ def pagerank(
     damping_num: int = 85,
     damping_den: int = 100,
     scale: int = 10**12,
+    pre_materialized: bool = False,
 ) -> DataFrame:
-    """Returns ``(id, rank_scaled)`` after ``iters`` exact iterations."""
+    """Returns ``(id, rank_scaled)`` after ``iters`` exact iterations.
+    ``pre_materialized=True`` declares that ``edges`` is ALREADY a
+    materialized (persisted/checkpointed) 2-column
+    (source_id, target_id) frame — e.g. a session-shared derived view —
+    so the internal checkpoint is skipped; multi-edges must be intact
+    (out-degree and contributions count edge instances)."""
     # materialize the 2-column edge projection ONCE: `edges` is usually
     # an expensive derivation (the KG construction joins), and without
     # this both the node set and the contribution joins would recompute
     # it; it is the ONLY edge-sized materialization in the whole run
-    edges = edges.select("source_id", "target_id").localCheckpoint(eager=True)
+    if not pre_materialized:
+        edges = edges.select("source_id", "target_id").localCheckpoint(eager=True)
+    else:
+        edges = edges.select("source_id", "target_id")
     nodes = _graph_parts(edges).localCheckpoint(eager=True)
     n_nodes = nodes.count()
     scale = effective_scale(n_nodes, scale, damping_num)

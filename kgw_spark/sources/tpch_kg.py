@@ -83,6 +83,22 @@ def kg_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_edges2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed 2-column edge projection ``(source_id, target_id)``
+    WITH multi-edges (the pagerank working set: out-degree and
+    contributions count edge instances, so the canonical pair view
+    cannot substitute). Cached per (SparkContext, sf_dir) like
+    kg_pairs, via lazy localCheckpoint for the same scan-cost reasons;
+    recomputed from the parquet inputs by every fresh session."""
+    return _cached(
+        spark,
+        sf_dir,
+        "edges2",
+        lambda: kg_edges(spark, sf_dir).select("source_id", "target_id"),
+        mat=lambda df: df.localCheckpoint(eager=False),
+    )
+
+
 def _kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(
         spark, sf_dir, ["region", "nation", "customer", "supplier", "part", "orders"]
