@@ -146,7 +146,13 @@ def k_core(
             .localCheckpoint(eager=True)
         )
         n_removed += n_low
-        removed = gone.localCheckpoint(eager=True)
+        # NOT checkpointed: `gone` is a union of the (already
+        # checkpointed) per-round frontiers, so re-evaluating it inside
+        # next round's broadcast builds is a cheap cache-read union,
+        # while a checkpoint here cost one extra job per round; plan
+        # depth grows by one union per round, bounded by the peel depth
+        # and reset at every compaction
+        removed = gone
         if n_removed > _BCAST_MAX_PEELED:
             # compact: one bounded anti-join rewrite of the pair list
             # (the r5 round body), then the removed set resets — no
