@@ -565,7 +565,15 @@ def simhash_near_pairs(
     equality, never all-pairs."""
     chunks = max_hamming + 1
     width = 64 // chunks
-    sh = simhash(docs, id_col, text_col)
+    # the signature table feeds BOTH sides of the banded self-join; left
+    # lazy, each side inlines the full tokenize→explode→64-bit-sum
+    # aggregation subplan (the query's dominant cost, verified in the
+    # formatted plan: two identical Scan→Generate→HashAggregate legs).
+    # Eagerly materializing the (id, 64-bit sig) rows — 16 bytes/doc,
+    # corpus-count-bounded — computes it once; both join legs then scan
+    # the checkpoint. Same discipline as minhash_lsh_pairs' candidate
+    # checkpoint.
+    sh = simhash(docs, id_col, text_col).localCheckpoint(eager=True)
     banded = sh.select(
         F.col(id_col),
         "simhash",
